@@ -1,0 +1,491 @@
+"""Transformer action-program compiler.
+
+The reference executes an ordered action program per event
+(pkg/interceptor/transformer/transformer.go:85-95, actions.go:51-66):
+steps are simple actions or if/then/else conditionals; ``return()``
+short-circuits the rest of the program for that row; ``dropEvent()``
+drops the row; per-action ``ignoreError`` / ``dropIfError`` policies
+(action/action.go:33-38,110-120).
+
+Here the whole program compiles to column expressions over one
+DataFrame pass. Row-level control flow becomes hidden boolean columns:
+
+* ``_dropped``  — set by dropEvent(); rows filtered at the end
+* ``_returned`` — set by return(); gates every later action via
+  ``F.when`` so short-circuit semantics hold per row
+
+No per-row Python executes: every action is a Catalyst expression
+(regex/split/cast/concat/...), so the program stays inside whole-stage
+codegen.
+
+Program shape (mirrors the YAML in the reference's example configs,
+pkg/interceptor/transformer/example/pipeline.yml):
+
+    [
+      {"action": "regex(body)", "pattern": "(?<ip>\\S+) ..."},
+      {"if": "equal(status, 404)",
+       "then": [{"action": "add(topic, not_found)"}],
+       "else": [{"action": "add(topic, common)"}]},
+      {"action": "dropEvent()"},
+    ]
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from loggie_spark.expr import compile_condition, parse_call
+from loggie_spark.fieldpath import col_for_path, flat_name, parse_path
+from loggie_spark.patterns import (
+    compile_pattern,
+    expand_grok,
+    go_layout_to_jvm,
+    named_groups,
+    normalize_named_groups,
+)
+
+DROPPED = "_dropped"
+RETURNED = "_returned"
+
+_NAMED_GROUP_ANY = re.compile(r"\(\?P?<([a-zA-Z][a-zA-Z0-9_]*)>")
+
+
+def _java_pattern(pattern: str) -> str:
+    """Java regex wants ``(?<n>…)``; strip the Python ``P``."""
+    return _NAMED_GROUP_ANY.sub(r"(?<\1>", normalize_named_groups(pattern))
+
+
+@dataclass
+class _Ctx:
+    """Mutable compile state threaded through the program."""
+
+    df: DataFrame
+    gate: Column  # row must satisfy this for the action to apply
+    gate_is_total: bool  # True ⇒ gate is literally "not returned/dropped yet"
+    program_has_control: bool = False
+    time_col: Column | None = None  # deterministic ${+...} rendering
+    env: dict[str, str] | None = None
+
+    def existing(self, name: str) -> Column | None:
+        return F.col(name) if name in self.df.columns else None
+
+    def set_col(self, name: str, value: Column) -> None:
+        old = self.existing(name)
+        if self.gate_is_total and not self.program_has_control:
+            self.df = self.df.withColumn(name, value)
+        else:
+            fallback = old if old is not None else F.lit(None)
+            self.df = self.df.withColumn(name, F.when(self.gate, value).otherwise(fallback))
+
+    def del_col(self, name: str) -> None:
+        if name not in self.df.columns:
+            return
+        if self.gate_is_total and not self.program_has_control:
+            self.df = self.df.drop(name)
+        else:
+            self.df = self.df.withColumn(
+                name, F.when(self.gate, F.lit(None)).otherwise(F.col(name))
+            )
+
+    def apply_error_policy(self, failed: Column, extra: dict) -> None:
+        """dropIfError drops failing rows; ignoreError (and the default)
+        keeps them with whatever the action produced."""
+        if extra.get("dropIfError"):
+            self.df = self.df.withColumn(
+                DROPPED, F.col(DROPPED) | (self.gate & F.coalesce(failed, F.lit(False)))
+            )
+
+
+ActionFn = Callable[[_Ctx, list[str], dict], None]
+_ACTIONS: dict[str, ActionFn] = {}
+
+
+def register_action(name: str) -> Callable[[ActionFn], ActionFn]:
+    def deco(fn: ActionFn) -> ActionFn:
+        _ACTIONS[name] = fn
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Simple setters / movers (action/{add,set,copy,move,del,underroot}.go)
+# --------------------------------------------------------------------------
+
+
+@register_action("add")
+@register_action("set")
+def _add(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    ctx.set_col(flat_name(args[0]), F.lit(args[1]))
+
+
+@register_action("setInt")
+def _set_int(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    ctx.set_col(flat_name(args[0]), F.lit(int(args[1])))
+
+
+@register_action("setFloat")
+def _set_float(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    ctx.set_col(flat_name(args[0]), F.lit(float(args[1])))
+
+
+@register_action("setBool")
+def _set_bool(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    ctx.set_col(flat_name(args[0]), F.lit(args[1].lower() == "true"))
+
+
+@register_action("copy")
+def _copy(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    ctx.set_col(flat_name(args[1]), col_for_path(args[0]))
+
+
+@register_action("move")
+@register_action("rename")
+def _move(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    src, dst = args[0], args[1]
+    if dst == "_root":  # move.go:53-61 — to=_root splices under root
+        _under_root(ctx, [src], extra)
+        return
+    ctx.set_col(flat_name(dst), col_for_path(src))
+    ctx.del_col(flat_name(src))
+
+
+@register_action("del")
+def _del(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    for a in args:
+        ctx.del_col(flat_name(a))
+
+
+@register_action("underRoot")
+def _under_root(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    """Splice a struct column's fields to root (underroot.go:51-54)."""
+    name = args[0]
+    if not (ctx.gate_is_total and not ctx.program_has_control):
+        raise ValueError("underRoot inside a conditional is not supported")
+    src = flat_name(name)
+    schema = dict(zip(ctx.df.columns, [f.dataType for f in ctx.df.schema.fields]))
+    dtype = schema.get(src)
+    if dtype is None:
+        return
+    from pyspark.sql.types import StructType
+
+    if isinstance(dtype, StructType):
+        for f_ in dtype.fields:
+            ctx.df = ctx.df.withColumn(f_.name, F.col(src).getField(f_.name))
+        ctx.df = ctx.df.drop(src)
+    else:
+        raise ValueError(f"underRoot target {name!r} is not a struct column")
+
+
+@register_action("dropEvent")
+def _drop_event(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    ctx.df = ctx.df.withColumn(DROPPED, F.col(DROPPED) | ctx.gate)
+    ctx.program_has_control = True
+
+
+@register_action("return")
+def _return(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    ctx.df = ctx.df.withColumn(RETURNED, F.col(RETURNED) | ctx.gate)
+    ctx.program_has_control = True
+
+
+@register_action("print")
+def _print(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    pass  # debug logging sink — no-op in batch (print.go:51-70)
+
+
+# --------------------------------------------------------------------------
+# Parsers: regex / grok / split / jsonDecode / jsonEncode
+# --------------------------------------------------------------------------
+
+
+def _apply_regex(ctx: _Ctx, key: str, to: str | None, pattern: str, extra: dict) -> None:
+    src = col_for_path(key).cast("string")
+    groups = named_groups(pattern)
+    jpat = _java_pattern(pattern)
+    matched = src.rlike(jpat)
+    ignore_blank = extra.get("ignoreBlank", False)
+
+    out_cols: dict[str, Column] = {}
+    for gname, gidx in groups.items():
+        val = F.regexp_extract(src, jpat, gidx)
+        if ignore_blank:
+            val = F.when(val == "", F.lit(None)).otherwise(val)
+        out_cols[gname] = F.when(matched, val)
+
+    if to:
+        ctx.set_col(flat_name(to), F.struct(*[v.alias(k) for k, v in out_cols.items()]))
+    else:
+        for k, v in out_cols.items():
+            ctx.set_col(k, v)
+    # regex.go:90-115 deletes the source key after a root extract
+    if extra.get("deleteSrc", False) and key != "body":
+        ctx.del_col(flat_name(key))
+    ctx.apply_error_policy(~matched, extra)
+
+
+@register_action("regex")
+def _regex(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    to = args[1] if len(args) > 1 else None
+    _apply_regex(ctx, args[0], to, extra["pattern"], extra)
+
+
+@register_action("grok")
+def _grok(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    # grok.go:125-148 — expand %{...} macros at plan time, then regex.
+    from loggie_spark.patterns import DEFAULT_GROK_PATTERNS
+
+    pats = {**DEFAULT_GROK_PATTERNS, **(extra.get("patterns") or {})}
+    pattern = expand_grok(extra["match"], patterns=pats)
+    to = args[1] if len(args) > 1 else None
+    merged_extra = {"ignoreBlank": extra.get("ignoreBlank", True), **extra}
+    _apply_regex(ctx, args[0], to, pattern, merged_extra)
+
+
+@register_action("split")
+def _split(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    # split.go:72-100 — SplitN + zip with keys; arity mismatch = error.
+    key = args[0]
+    to = args[1] if len(args) > 1 else None
+    sep: str = extra["separator"]
+    keys: list[str] = extra["keys"]
+    max_n: int = extra.get("max", -1)
+    src = col_for_path(key).cast("string")
+    # Java split limit: -1 = no limit; loggie max = number of pieces.
+    parts = F.split(src, re.escape(sep), max_n if max_n > 0 else -1)
+    failed = F.size(parts) != len(keys)
+    if to:
+        ctx.set_col(
+            flat_name(to),
+            F.struct(*[parts.getItem(i).alias(k) for i, k in enumerate(keys)]),
+        )
+    else:
+        for i, k in enumerate(keys):
+            ctx.set_col(flat_name(k), F.when(~failed, parts.getItem(i)))
+    ctx.apply_error_policy(failed, extra)
+
+
+@register_action("jsonDecode")
+def _json_decode(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    """Parse a JSON field (jsondecode.go:60-89).
+
+    The reference is schemaless; Spark wants a schema. Two modes:
+    * ``schema`` extra (DDL string) → typed struct, spliced to root or
+      under ``to``.
+    * no schema → ``map<string,string>`` parse; root splice requires a
+      ``fields`` list naming the keys to lift.
+    """
+    key = args[0]
+    to = args[1] if len(args) > 1 else None
+    src = col_for_path(key).cast("string")
+    schema = extra.get("schema")
+    if schema:
+        parsed = F.from_json(src, schema)
+        failed = parsed.isNull() & src.isNotNull()
+        if to:
+            ctx.set_col(flat_name(to), parsed)
+        else:
+            import pyspark.sql.types as T
+
+            struct_t = T._parse_datatype_string(schema)
+            for f_ in struct_t.fields:
+                ctx.set_col(f_.name, parsed.getField(f_.name))
+    else:
+        parsed = F.from_json(src, "map<string,string>")
+        failed = parsed.isNull() & src.isNotNull()
+        fields = extra.get("fields")
+        if to:
+            ctx.set_col(flat_name(to), parsed)
+        elif fields:
+            for f_ in fields:
+                ctx.set_col(flat_name(f_), parsed.getItem(f_))
+        else:
+            raise ValueError("schemaless jsonDecode to root needs a 'fields' list")
+    if extra.get("deleteSrc", True) and key != "body":
+        ctx.del_col(flat_name(key))
+    ctx.apply_error_policy(failed, extra)
+
+
+@register_action("jsonEncode")
+def _json_encode(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    key = args[0]
+    to = args[1] if len(args) > 1 else key
+    ctx.set_col(flat_name(to), F.to_json(col_for_path(key)))
+
+
+# --------------------------------------------------------------------------
+# String / type transforms
+# --------------------------------------------------------------------------
+
+
+@register_action("replace")
+def _replace(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    key = args[0]
+    old, new = extra["old"], extra["new"]
+    max_n = int(extra.get("max", -1))
+    src = col_for_path(key).cast("string")
+    if max_n < 0:
+        ctx.set_col(flat_name(key), F.replace(src, F.lit(old), F.lit(new)))
+    else:
+        # Replace only the first max_n occurrences: split with limit
+        # max_n+1 (Java semantics: last element keeps the remainder,
+        # untouched separators included) and rejoin with the new text.
+        parts = F.split(src, re.escape(old), max_n + 1)
+        ctx.set_col(flat_name(key), F.array_join(parts, new))
+
+
+@register_action("replaceRegex")
+def _replace_regex(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    key = args[0]
+    src = col_for_path(key).cast("string")
+    ctx.set_col(flat_name(key), F.regexp_replace(src, extra["expression"], extra["replace"]))
+
+
+@register_action("strconv")
+def _strconv(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    # strconv.go:64-74 — string → bool/int/float, error when invalid.
+    key, typ = args[0], args[1]
+    spark_t = {"bool": "boolean", "int": "long", "float": "double"}[typ]
+    src = col_for_path(key)
+    cast = src.try_cast(spark_t)  # ANSI-safe: malformed → null → error policy
+    failed = cast.isNull() & src.isNotNull()
+    # Policy must be applied BEFORE the overwrite: Column exprs resolve
+    # by name at use-time, so after set_col 'failed' would see the new
+    # (already-cast) column and never fire.
+    ctx.apply_error_policy(failed, extra)
+    ctx.set_col(flat_name(key), cast)
+
+
+@register_action("toStr")
+def _to_str(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    ctx.set_col(flat_name(args[0]), col_for_path(args[0]).cast("string"))
+
+
+@register_action("timestamp")
+def _timestamp(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    """Reparse a time field between layouts / unix / unix_ms
+    (action/timestamp.go:72-116; Go layouts → JVM via go_layout_to_jvm)."""
+    key = args[0]
+    from_layout = extra.get("fromLayout", "")
+    to_layout = extra.get("toLayout", "")
+    src = col_for_path(key)
+
+    if from_layout == "unix":
+        ts = F.timestamp_seconds(src.try_cast("long"))
+    elif from_layout == "unix_ms":
+        ts = F.timestamp_millis(src.try_cast("long"))
+    else:
+        ts = F.try_to_timestamp(src.cast("string"), F.lit(go_layout_to_jvm(from_layout)))
+
+    failed = ts.isNull() & src.isNotNull()
+    ctx.apply_error_policy(failed, extra)  # before overwrite (name-resolution)
+    if to_layout == "unix":
+        out = ts.cast("long")
+    elif to_layout == "unix_ms":
+        out = F.unix_millis(ts)
+    else:
+        out = F.date_format(ts, go_layout_to_jvm(to_layout))
+    ctx.set_col(flat_name(key), out)
+
+
+@register_action("fmt")
+def _fmt(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    ctx.set_col(
+        flat_name(args[0]),
+        compile_pattern(extra["pattern"], time_col=ctx.time_col, env=ctx.env),
+    )
+
+
+@register_action("fmtKey")
+def _fmt_key(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    # fmtkey.go:83-101 — rename keys matching regex; plan-time rename.
+    if not (ctx.gate_is_total and not ctx.program_has_control):
+        raise ValueError("fmtKey inside a conditional is not supported")
+    pat = re.compile(extra["regex"])
+    repl = extra["replace"]
+    for c in list(ctx.df.columns):
+        if c in (DROPPED, RETURNED):
+            continue
+        new = pat.sub(repl, c)
+        if new != c:
+            ctx.df = ctx.df.withColumnRenamed(c, new)
+
+
+# --------------------------------------------------------------------------
+# Program driver
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CompiledProgram:
+    """Result of compiling an action program against a DataFrame."""
+
+    df: DataFrame
+    dropped_col: str = DROPPED
+
+    def finish(self, keep_control_cols: bool = False) -> DataFrame:
+        out = self.df.filter(~F.col(DROPPED))
+        if not keep_control_cols:
+            out = out.drop(DROPPED, RETURNED)
+        return out
+
+
+def apply_program(
+    df: DataFrame,
+    program: list[dict],
+    time_col: Column | None = None,
+    env: dict[str, str] | None = None,
+) -> CompiledProgram:
+    """Compile + attach an action program to ``df``.
+
+    Returns a :class:`CompiledProgram`; call ``.finish()`` to filter
+    dropped rows and strip control columns.
+    """
+    df = df.withColumn(DROPPED, F.lit(False)).withColumn(RETURNED, F.lit(False))
+    ctx = _Ctx(
+        df=df,
+        gate=~F.col(DROPPED) & ~F.col(RETURNED),
+        gate_is_total=True,
+        time_col=time_col,
+        env=env,
+    )
+    _apply_steps(ctx, program, extra_gate=None)
+    return CompiledProgram(df=ctx.df)
+
+
+def _apply_steps(ctx: _Ctx, steps: list[dict], extra_gate: Column | None) -> None:
+    for step in steps:
+        if "if" in step:
+            # Three-valued logic guard: a condition over a missing/null
+            # field is NULL in SQL, but the reference's eventops treats
+            # it as false (GetString on a missing key → ""). Without
+            # this, NULL gates poison _dropped/_returned and silently
+            # drop unparsed rows.
+            cond = F.coalesce(compile_condition(step["if"]), F.lit(False))
+            then_gate = cond if extra_gate is None else (extra_gate & cond)
+            else_gate = ~cond if extra_gate is None else (extra_gate & ~cond)
+            # Conditionals introduce partial gates for everything below.
+            ctx.program_has_control = True
+            for sub in step.get("then", []) or []:
+                _apply_one(ctx, sub, then_gate)
+            for sub in step.get("else", []) or []:
+                _apply_one(ctx, sub, else_gate)
+        else:
+            _apply_one(ctx, step, extra_gate)
+
+
+def _apply_one(ctx: _Ctx, step: dict, extra_gate: Column | None) -> None:
+    call = step["action"]
+    name, args = parse_call(call)
+    if name not in _ACTIONS:
+        raise KeyError(f"unknown action: {name}")
+    extra = {k: v for k, v in step.items() if k != "action"}
+    base_gate = ~F.col(DROPPED) & ~F.col(RETURNED)
+    ctx.gate = base_gate if extra_gate is None else (base_gate & extra_gate)
+    ctx.gate_is_total = extra_gate is None
+    _ACTIONS[name](ctx, args, extra)

@@ -1,0 +1,70 @@
+"""Token-array ⇄ text codecs (the "body" decode of the parse stage).
+
+Input contract (BASELINE input_hint): ``tokens: array<int32>`` holds the
+UTF-8 bytes of the rendered log line, one int per byte. The per-row
+invariant against the reference is token-array equality, so both
+directions must be lossless.
+
+Two decode paths:
+
+* :func:`decode_tokens_utf8` — the general path: an Arrow-batched pandas
+  UDF (never per-row Python at the plan level; the batch loop is a tight
+  ``bytes(...)`` constructor over numpy buffers).
+* :func:`decode_tokens_ascii` — pure-JVM fast path when the corpus is
+  known 7-bit ASCII (each byte is its own code point, so
+  ``transform(tokens, chr)`` + ``array_join`` is exact). Stays inside
+  whole-stage codegen; use it when datagen guarantees ASCII.
+
+Mirrors the reference's source-side body handling: events carry a raw
+byte body (pkg/core/api/base.go:61-70) that codecs/interceptors decode
+(pkg/source/codec/json/json.go:28-37).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+
+@F.pandas_udf(StringType())
+def decode_tokens_utf8(tokens: pd.Series) -> pd.Series:
+    """array<int32> of UTF-8 byte values → string (Arrow-batched)."""
+    return pd.Series(
+        [
+            None if t is None else bytes(bytearray(int(b) & 0xFF for b in t)).decode("utf-8", errors="replace")
+            for t in tokens
+        ],
+        dtype="object",
+    )
+
+
+@F.pandas_udf(ArrayType(IntegerType()))
+def encode_text_to_tokens(text: pd.Series) -> pd.Series:
+    """string → array<int32> of its UTF-8 bytes (lossless inverse)."""
+    return pd.Series(
+        [None if s is None else [int(b) for b in s.encode("utf-8")] for s in text],
+        dtype="object",
+    )
+
+
+def decode_tokens_ascii(tokens: Column | str) -> Column:
+    """JVM-only decode valid iff every token < 128 (ASCII).
+
+    ``chr(i)`` maps a code point; for 7-bit input code point == byte, so
+    this equals the UTF-8 decode while staying in whole-stage codegen.
+    """
+    col = F.col(tokens) if isinstance(tokens, str) else tokens
+    return F.array_join(F.transform(col, lambda b: F.chr(b)), "")
+
+
+def encode_text_to_tokens_ascii(text: Column | str) -> Column:
+    """JVM-only inverse of :func:`decode_tokens_ascii` (ASCII input).
+
+    ``split(s, '')`` can yield a trailing empty string (Java split with
+    limit -1), so empties are filtered before ``ascii``.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    chars = F.filter(F.split(col, ""), lambda ch: ch != "")
+    return F.transform(chars, lambda ch: F.ascii(ch))

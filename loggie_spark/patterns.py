@@ -1,0 +1,227 @@
+"""Plan-time compilers for loggie's three little languages.
+
+All three run at *plan build time* (pure Python producing Column
+expressions) — nothing here executes per row in Python:
+
+1. ``${...}`` pattern rendering (pkg/util/pattern/pattern.go:28-41):
+   the router DSL used for kafka topics / ES indexes / file paths.
+   Compiled to a ``F.concat`` of literals, column refs,
+   ``date_format`` calls, and env-var literals.
+2. Grok macro expansion (pkg/interceptor/transformer/action/grok.go:40-62,
+   150-173): ``%{NAME:field}`` macros expand recursively into one plain
+   named-group regex, which then compiles like any regex action.
+3. Go named groups ``(?<n>...)`` → Python/Java ``(?P<n>...)``
+   (pkg/util/regex.go MustCompilePatternWithJavaStyle) and Go time
+   layouts (``2006-01-02``) → JVM patterns (``yyyy-MM-dd``)
+   (pkg/interceptor/normalize/timestamp.go:112-131).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Grok (grok.go:40-62 DefaultgrokPattern, ported as data)
+# --------------------------------------------------------------------------
+
+DEFAULT_GROK_PATTERNS: dict[str, str] = {
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"%{USERNAME}",
+    "INT": r"(?:[+-]?(?:[0-9]+))",
+    "WORD": r"\b\w+\b",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "IPV4": r"(?:(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\.){3}(?:25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)",
+    "PATH": r"(?:%{UNIXPATH}|%{WINPATH})",
+    "UNIXPATH": r"(/[\w_%!$@:.,-]?/?)(\S+)?",
+    "WINPATH": r"([A-Za-z]:|\\)(?:\\[^\\?*]*)+",
+    "MONTHNUM": r"(?:0?[1-9]|1[0-2])",
+    "MONTHDAY": r"(?:(?:0[1-9])|(?:[12][0-9])|(?:3[01])|[1-9])",
+    "YEAR": r"(\d\d){1,2}",
+    "DATE_US": r"%{MONTHNUM}[/-]%{MONTHDAY}[/-]%{YEAR}",
+    "DATE_EU": r"%{MONTHDAY}[./-]%{MONTHNUM}[./-]%{YEAR}",
+    "DATE_CN": r"%{YEAR}[./-]%{MONTHNUM}[./-]%{MONTHDAY}",
+    "DATE": r"%{DATE_US}|%{DATE_EU}|%{DATE_CN}",
+    "HOUR": r"(?:2[0123]|[01]?[0-9])",
+    "MINUTE": r"(?:[0-5][0-9])",
+    "SECOND": r"(?:(?:[0-5][0-9]|60)(?:[:.,][0-9]+)?)",
+    "TIME": r"([^0-9]?)%{HOUR}:%{MINUTE}(?::%{SECOND})([^0-9]?)",
+    "DATESTAMP": r"%{DATE}[- ]%{TIME}",
+}
+
+_GROK_MACRO = re.compile(r"%\{(\w+)(?::(\w+))?\}")
+
+
+def expand_grok(match: str, patterns: dict[str, str] | None = None, _depth: int = 0) -> str:
+    """Expand ``%{NAME}`` / ``%{NAME:field}`` macros into one regex.
+
+    ``%{NAME:field}`` becomes a named group ``(?P<field>...)``;
+    ``%{NAME}`` expands anonymously. Recursion bound mirrors the
+    reference compiler's repeated-substitution loop (grok.go:150-173).
+    """
+    if _depth > 20:
+        raise ValueError("grok pattern recursion too deep (cyclic macro?)")
+    pats = patterns if patterns is not None else DEFAULT_GROK_PATTERNS
+
+    def repl(m: re.Match) -> str:
+        name, field = m.group(1), m.group(2)
+        if name not in pats:
+            raise KeyError(f"unknown grok pattern %{{{name}}}")
+        inner = expand_grok(pats[name], pats, _depth + 1)
+        # Anonymous expansion must not capture: strip inner *named*
+        # groups only when un-fielded (the Go impl numbers them away).
+        if field:
+            return f"(?P<{field}>{inner})"
+        return f"(?:{inner})"
+
+    return _GROK_MACRO.sub(repl, match)
+
+
+# --------------------------------------------------------------------------
+# Named-group regex handling (Go/Java (?<n>) vs Python (?P<n>))
+# --------------------------------------------------------------------------
+
+_JAVA_GROUP = re.compile(r"\(\?<([a-zA-Z][a-zA-Z0-9_]*)>")
+
+
+def normalize_named_groups(pattern: str) -> str:
+    """Accept Go/Java-style ``(?<n>…)`` and return Python/Java-portable
+    ``(?P<n>…)`` (pkg/util/regex.go accepts both spellings)."""
+    return _JAVA_GROUP.sub(r"(?P<\1>", pattern)
+
+
+def named_groups(pattern: str) -> dict[str, int]:
+    """Map group name → 1-based group index (for ``regexp_extract``)."""
+    return dict(re.compile(normalize_named_groups(pattern)).groupindex)
+
+
+# --------------------------------------------------------------------------
+# Go time layout → JVM datetime pattern
+# --------------------------------------------------------------------------
+
+# Longest-match-first translation of Go's reference time
+# "Mon Jan 2 15:04:05 MST 2006" components to JVM DateTimeFormatter.
+_GO_LAYOUT_TABLE: list[tuple[str, str]] = [
+    ("2006", "yyyy"),
+    ("01", "MM"),
+    ("02", "dd"),
+    ("15", "HH"),
+    ("04", "mm"),
+    ("05", "ss"),
+    (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"),
+    (".000", ".SSS"),
+    ("January", "MMMM"),
+    ("Jan", "MMM"),
+    ("Monday", "EEEE"),
+    ("Mon", "EEE"),
+    ("-07:00", "XXX"),
+    ("-0700", "Z"),
+    ("Z07:00", "XXX"),
+    ("MST", "zzz"),
+    ("PM", "a"),
+    ("06", "yy"),
+    ("1", "M"),
+    ("2", "d"),
+    ("3", "h"),
+]
+
+
+def go_layout_to_jvm(layout: str) -> str:
+    """Translate a Go time layout to a JVM DateTimeFormatter pattern.
+
+    ``unix`` / ``unix_ms`` are handled upstream (timestamp.go:79-106);
+    this covers the string-layout cases used by the timestamp
+    action/processor.
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(layout):
+        for go, jvm in _GO_LAYOUT_TABLE:
+            if layout.startswith(go, i):
+                out.append(jvm)
+                i += len(go)
+                break
+        else:
+            ch = layout[i]
+            # Quote letters that would otherwise be pattern chars.
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# ${...} pattern rendering → Column (pattern.go:28-41,62-89)
+# --------------------------------------------------------------------------
+
+_PATTERN_TOKEN = re.compile(r"\$\{(.+?)\}")
+
+
+class PatternRenderError(ValueError):
+    """Strict-mode render failure (pattern.go:149-151)."""
+
+
+def compile_pattern(
+    pattern: str,
+    time_col: Column | None = None,
+    env: dict[str, str] | None = None,
+) -> Column:
+    """Compile a ``${...}`` routing pattern into a Column expression.
+
+    - ``${a.b}``       → header/field column reference
+    - ``${+YYYY.MM.dd}`` → ``date_format(time_col, ...)`` — the time the
+      event is *processed*; pass an explicit ``time_col`` for
+      deterministic tests (defaults to ``current_timestamp()``)
+    - ``${_env.X}``    → environment variable, resolved at plan time
+
+    Joda-ish tokens used by loggie (YYYY/MM/dd/HH/mm/ss) map onto JVM
+    pattern letters (YYYY → yyyy).
+    """
+    env = env if env is not None else dict(os.environ)
+    tcol = time_col if time_col is not None else F.current_timestamp()
+
+    parts: list[Column] = []
+    pos = 0
+    for m in _PATTERN_TOKEN.finditer(pattern):
+        if m.start() > pos:
+            parts.append(F.lit(pattern[pos : m.start()]))
+        token = m.group(1)
+        if token.startswith("+"):
+            fmt = token[1:].replace("YYYY", "yyyy").replace("DD", "dd")
+            parts.append(F.date_format(tcol, fmt))
+        elif token.startswith("_env."):
+            parts.append(F.lit(env.get(token[5:], "")))
+        else:
+            parts.append(F.col(token).cast("string"))
+        pos = m.end()
+    if pos < len(pattern):
+        parts.append(F.lit(pattern[pos:]))
+    if not parts:
+        return F.lit("")
+    if len(parts) == 1:
+        return parts[0]
+    return F.concat(*parts)
+
+
+def pattern_fields(pattern: str) -> list[str]:
+    """Header fields referenced by a pattern (used for strict-mode
+    null checks and the kafka ifRenderTopicFailed policy)."""
+    return [
+        m.group(1)
+        for m in _PATTERN_TOKEN.finditer(pattern)
+        if not m.group(1).startswith(("+", "_env."))
+    ]
+
+
+def pattern_is_strict_ok(pattern: str) -> Column:
+    """Column predicate: every field placeholder renders non-empty
+    (strict mode, pattern.go:149-151,182-184)."""
+    fields = pattern_fields(pattern)
+    cond = F.lit(True)
+    for f_ in fields:
+        c = F.col(f_).cast("string")
+        cond = cond & c.isNotNull() & (c != "")
+    return cond

@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from loggie_spark.functions.tokens import (
+    decode_tokens_ascii,
+    decode_tokens_utf8,
+    encode_text_to_tokens,
+    encode_text_to_tokens_ascii,
+)
+
+
+def test_utf8_roundtrip(spark):
+    lines = ["hello world", "", "naïve café — ünïcode ✓", '{"a": 1}', "10.0.0.1 - - [x] 404"]
+    df = spark.createDataFrame([Row(text=t) for t in lines])
+    enc = df.withColumn("tokens", encode_text_to_tokens(F.col("text")))
+    dec = enc.withColumn("back", decode_tokens_utf8(F.col("tokens")))
+    rows = dec.collect()
+    for r in rows:
+        assert r.back == r.text
+        assert r.tokens == [int(b) for b in r.text.encode("utf-8")]
+
+
+def test_ascii_jvm_path_matches_udf(spark):
+    lines = ["hello", "GET /index HTTP/1.1 200 123", ""]
+    df = spark.createDataFrame([Row(text=t) for t in lines])
+    both = df.select(
+        "text",
+        encode_text_to_tokens_ascii(F.col("text")).alias("jvm"),
+        encode_text_to_tokens(F.col("text")).alias("udf"),
+    ).collect()
+    for r in both:
+        assert r.jvm == r.udf
+    dec = df.select(
+        "text", decode_tokens_ascii(encode_text_to_tokens_ascii(F.col("text"))).alias("back")
+    ).collect()
+    for r in dec:
+        assert r.back == r.text
+
+
+def test_truncate_utf8(spark):
+    from loggie_spark.functions.truncate import truncate_utf8_bytes
+
+    df = spark.createDataFrame([Row(text="aé€b"), Row(text="abcdef"), Row(text="ééé")])
+    out = df.select("text", truncate_utf8_bytes("text", 4).alias("t")).collect()
+    got = {r.text: r.t for r in out}
+    # "aé€b" bytes: a(1) é(2) €(3) — 4 bytes cuts into €, so keep "aé"
+    assert got["aé€b"] == "aé"
+    assert got["abcdef"] == "abcd"
+    assert got["ééé"] == "éé"
+    for r in out:
+        assert len(r.t.encode("utf-8")) <= 4
