@@ -1,0 +1,138 @@
+"""Routed fan-out stage — the sink layer re-expressed as columns.
+
+In the reference every sink renders a per-event destination from a
+``${...}`` pattern — kafka topic (pkg/sink/kafka/sink.go:124-199), ES
+index (pkg/sink/elasticsearch/client.go:41-116), file path
+(pkg/sink/file/sink.go:121-177) — and a render failure follows a
+policy: ``fail`` the batch, use a ``defaultTopic``, ``dropEvent``, or
+``ignoreError`` (kafka/sink.go:132-147).
+
+Here a sink is a :class:`SinkSpec`; the router compiles every sink's
+selector + route pattern into one projection, fans rows out via a
+single ``explode`` (no shuffle, no per-sink job), and the writer does
+one ``partitionBy(sink, route_key)`` append — kafka topics, ES indexes
+and file dirs all collapse onto partition directories, which is exactly
+how a 100 TB cluster job should route: directory-partitioned Iceberg
+appends, one pass over the data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from loggie_spark.expr import compile_condition
+from loggie_spark.patterns import compile_pattern, pattern_is_strict_ok
+
+SINK_COL = "sink"
+ROUTE_COL = "route_key"
+FAILED_COL = "_route_failed"
+
+
+@dataclass
+class SinkSpec:
+    """One routed sink (file-/kafka-/ES-shaped are all the same shape).
+
+    ``selector`` — optional condition expression (loggie's unshipped
+    Selector interface, pkg/core/api/base.go:149-152); rows not
+    matching any selector are dropped from that sink only.
+    ``on_render_fail`` — 'fail' | 'default' | 'drop' | 'ignore'
+    (kafka ifRenderTopicFailed semantics).
+    """
+
+    name: str
+    route_pattern: str = "loggie"
+    selector: str | None = None  # condition expr; None = all rows
+    on_render_fail: str = "fail"
+    default_route: str = "loggie"
+    partition_key: str | None = None  # kafka partitionKey analog
+
+    def selector_col(self) -> Column:
+        if self.selector is None:
+            return F.lit(True)
+        return F.coalesce(compile_condition(self.selector), F.lit(False))
+
+
+def attach_routes(
+    df: DataFrame, sink: SinkSpec, time_col: Column | None = None
+) -> DataFrame:
+    """Single-sink routing: add ``route_key`` + ``_route_failed``
+    columns applying the render-failure policy."""
+    route = compile_pattern(sink.route_pattern, time_col=time_col)
+    ok = pattern_is_strict_ok(sink.route_pattern)
+    if sink.on_render_fail == "default":
+        route = F.when(ok, route).otherwise(F.lit(sink.default_route))
+        failed = F.lit(False)
+    elif sink.on_render_fail == "drop":
+        failed = ~ok
+    elif sink.on_render_fail == "ignore":
+        failed = F.lit(False)
+        route = F.when(ok, route).otherwise(F.lit(""))
+    else:  # 'fail' — surfaced as failed rows; the caller raises/counts
+        failed = ~ok
+    return df.withColumn(SINK_COL, F.lit(sink.name)).withColumn(
+        ROUTE_COL, route
+    ).withColumn(FAILED_COL, failed)
+
+
+def explode_to_sinks(
+    df: DataFrame, sinks: list[SinkSpec], time_col: Column | None = None
+) -> DataFrame:
+    """Fan one row out to every sink whose selector matches, in ONE
+    narrow pass (array-of-structs + explode; no shuffle, no N jobs).
+
+    Adds ``sink``, ``route_key``, ``_route_failed``. Rows matching no
+    sink disappear (reference: an event always has exactly one sink per
+    pipeline; multi-sink here generalizes the Selector interface).
+    """
+    entries = []
+    for s in sinks:
+        route = compile_pattern(s.route_pattern, time_col=time_col)
+        ok = pattern_is_strict_ok(s.route_pattern)
+        if s.on_render_fail == "default":
+            route = F.when(ok, route).otherwise(F.lit(s.default_route))
+            failed = F.lit(False)
+        elif s.on_render_fail == "drop":
+            failed = ~ok
+            route = F.when(ok, route).otherwise(F.lit(""))
+        elif s.on_render_fail == "ignore":
+            failed = F.lit(False)
+            route = F.when(ok, route).otherwise(F.lit(""))
+        else:
+            failed = ~ok
+            route = F.when(ok, route).otherwise(F.lit(""))
+        entry = F.when(
+            s.selector_col(),
+            F.struct(
+                F.lit(s.name).alias(SINK_COL),
+                route.alias(ROUTE_COL),
+                failed.alias(FAILED_COL),
+            ),
+        )
+        entries.append(entry)
+
+    routed = df.withColumn("_sinks", F.filter(F.array(*entries), lambda x: x.isNotNull()))
+    routed = routed.withColumn("_s", F.explode("_sinks")).drop("_sinks")
+    return (
+        routed.withColumn(SINK_COL, F.col("_s")[SINK_COL])
+        .withColumn(ROUTE_COL, F.col("_s")[ROUTE_COL])
+        .withColumn(FAILED_COL, F.col("_s")[FAILED_COL])
+        .drop("_s")
+    )
+
+
+def write_routed(
+    df: DataFrame,
+    out_dir: str,
+    extra_partition_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """Append the routed frame partitioned by (sink, route_key) — the
+    physical fan-out. At scale this is an Iceberg append with the same
+    partition spec; route_key cardinality is bounded by the sinks'
+    patterns (dates × topics), so directory explosion is capped by
+    construction."""
+    parts = [SINK_COL, ROUTE_COL] + (extra_partition_cols or [])
+    df.write.mode(mode).partitionBy(*parts).parquet(out_dir)

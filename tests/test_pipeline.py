@@ -1,0 +1,166 @@
+"""End-to-end pipeline tests: exact per-sink counts vs a pure-Python
+oracle, routed-row token equality, and crash/resume exactly-once
+(FIXTURES.md §F4 contracts)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from loggie_spark.datagen import generate_sequences
+from loggie_spark.examples import reference_pipeline
+from loggie_spark.pipeline import Pipeline
+
+N = 2000
+SOURCES = ["access", "container", "app", "audit"]
+STATUSES = ["200", "404", "500", "302"]
+LEVELS = ["DEBUG", "INFO", "WARN", "ERROR"]
+
+
+def python_oracle(n: int):
+    """Independent reimplementation of datagen + routing semantics:
+    returns {(source, kafka_topic): count} for surviving rows and the
+    per-source survivor counts."""
+    topic_counts: dict[tuple[str, str], int] = {}
+    survivors: dict[str, int] = {}
+    for i in range(n):
+        pct = i % 100
+        src = (
+            "access" if pct < 60 else "container" if pct < 85 else "app" if pct < 95 else "audit"
+        )
+        if src == "access":
+            status = STATUSES[i % 4]
+            if status == "500":
+                continue
+            topic = "not_found" if status == "404" else "common"
+        elif src == "container":
+            topic = "json"
+        elif src == "app":
+            level = LEVELS[i % 4]
+            if level == "DEBUG":
+                continue
+            topic = "app"
+        else:
+            topic = "audit"
+        topic_counts[(src, topic)] = topic_counts.get((src, topic), 0) + 1
+        survivors[src] = survivors.get(src, 0) + 1
+    return topic_counts, survivors
+
+
+@pytest.fixture(scope="module")
+def run_dirs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    return str(d / "out"), str(d / "manifest")
+
+
+def _run(spark, out_dir, manifest_dir, run_id="r1"):
+    seq = generate_sequences(spark, N).withColumn(
+        "_ptime", F.lit("2024-03-01 00:00:00").cast("timestamp")
+    )
+    cfg = reference_pipeline(time_col_name="_ptime")
+    metrics = Pipeline(cfg).run(
+        spark, seq, out_dir, run_id=run_id, manifest_dir=manifest_dir
+    )
+    return seq, metrics
+
+
+def test_e2e_counts_and_tokens(spark, run_dirs):
+    out_dir, manifest_dir = run_dirs
+    seq, metrics = _run(spark, out_dir, manifest_dir)
+    topic_counts, survivors = python_oracle(N)
+    total_survivors = sum(survivors.values())
+
+    m = {(r.source, r.sink): (r.success_count, r.fail_count) for r in metrics.collect()}
+    # Every source × sink pair has exact success counts, zero fails.
+    for src, cnt in survivors.items():
+        for sink in ("kafka", "es", "file"):
+            assert m[(src, sink)] == (cnt, 0), (src, sink, m[(src, sink)])
+
+    final = spark.read.parquet(out_dir)
+    # kafka sink routes by ${topic} — exact per-topic counts.
+    kafka = (
+        final.filter(F.col("sink") == "kafka")
+        .groupBy("source", "route_key")
+        .count()
+        .collect()
+    )
+    got = {(r.source, r.route_key): r["count"] for r in kafka}
+    assert got == topic_counts
+
+    # es sink routes by dated index from the deterministic time col.
+    es_keys = {
+        r.route_key
+        for r in final.filter(F.col("sink") == "es").select("route_key").distinct().collect()
+    }
+    assert es_keys == {f"log-{s}-2024.03.01" for s in survivors}
+
+    # Token-array equality per routed row (north-rule invariant).
+    joined = (
+        final.filter(F.col("sink") == "file")
+        .select("doc_id", F.col("tokens").alias("out_tokens"))
+        .join(seq.select("doc_id", "tokens"), "doc_id")
+    )
+    mismatches = joined.filter(F.col("out_tokens") != F.col("tokens")).count()
+    assert mismatches == 0
+    assert joined.count() == total_survivors
+
+
+def test_resume_exactly_once(spark, run_dirs):
+    """Simulate a crash after some buckets committed: wipe manifest
+    rows for half the buckets (their output remains — worst case for
+    duplication) and re-run. Output and metrics must be unchanged."""
+    out_dir, manifest_dir = run_dirs
+    final_before = spark.read.parquet(out_dir)
+    count_before = final_before.count()
+    kafka_before = sorted(
+        (r.source, r.route_key, r["count"])
+        for r in final_before.filter(F.col("sink") == "kafka")
+        .groupBy("source", "route_key")
+        .count()
+        .collect()
+    )
+
+    # Crash simulation: manifest loses half its buckets.
+    manifest = spark.read.parquet(manifest_dir)
+    kept = manifest.filter(F.col("bucket") % 2 == 0)
+    kept_pd = kept.toPandas()
+    shutil.rmtree(manifest_dir)
+    spark.createDataFrame(kept_pd).write.mode("overwrite").parquet(manifest_dir)
+
+    _, metrics2 = _run(spark, out_dir, manifest_dir)
+
+    final_after = spark.read.parquet(out_dir)
+    assert final_after.count() == count_before  # no dupes, no loss
+    kafka_after = sorted(
+        (r.source, r.route_key, r["count"])
+        for r in final_after.filter(F.col("sink") == "kafka")
+        .groupBy("source", "route_key")
+        .count()
+        .collect()
+    )
+    assert kafka_after == kafka_before
+
+    # Second resume with complete manifest = pure no-op.
+    _, metrics3 = _run(spark, out_dir, manifest_dir)
+    assert spark.read.parquet(out_dir).count() == count_before
+
+
+def test_render_fail_policies(spark, tmp_path):
+    """kafka ifRenderTopicFailed policies: default / drop / fail
+    (pkg/sink/kafka/sink.go:132-147)."""
+    from loggie_spark.sinks.router import SinkSpec, explode_to_sinks
+
+    df = spark.createDataFrame(
+        [("a", "t1"), ("b", None)], "doc_id string, topic string"
+    )
+    out_default = explode_to_sinks(
+        df, [SinkSpec("k", "${topic}", on_render_fail="default", default_route="dflt")]
+    )
+    got = {r.doc_id: r.route_key for r in out_default.collect()}
+    assert got == {"a": "t1", "b": "dflt"}
+
+    out_drop = explode_to_sinks(df, [SinkSpec("k", "${topic}", on_render_fail="drop")])
+    rows = out_drop.collect()
+    assert {r.doc_id: r._route_failed for r in rows} == {"a": False, "b": True}
