@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: the reference example pipeline end-to-end
+                 (decode tokens → per-source parse programs → enrich →
+                 route fan-out → per-sink metric counts) on sequences
+                 derived from sf0.001 documents.
+queries()      — one entry per implemented operator (SURVEY.md §2 +
+                 training-data ops), keyed like loggie_spark.queries.
+oracle_sql()   — DuckDB-equivalent SQL per query.
 """
 
 from __future__ import annotations
@@ -12,27 +14,57 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF1 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→enrich→route→aggregate over a tokenized
+    sequences table (no filesystem writes — pure transform + metrics)."""
+    from loggie_spark.datagen import sequences_from_documents
+    from loggie_spark.examples import reference_pipeline
+    from loggie_spark.pipeline import Pipeline, PipelineConfig, SinkSpec, SourceSpec
+    from loggie_spark.sinks.metrics import sink_metrics
+
+    docs = spark.read.parquet(f"{SF1}/documents.parquet")
+    seq = sequences_from_documents(docs).withColumn(
+        "_ptime", F.lit("2024-03-01 00:00:00").cast("timestamp")
+    )
+    cfg = PipelineConfig(
+        name="flagship",
+        sources=[
+            SourceSpec(
+                "any",
+                [
+                    {"if": "less(n_tok, 40)", "then": [{"action": "dropEvent()"}]},
+                    {
+                        "action": "split(body, parts)",
+                        "separator": " ",
+                        "keys": ["w1"],
+                        "max": 1,
+                    },
+                    {"action": "add(topic, kept)"},
+                ],
+            )
+        ],
+        sinks=[
+            SinkSpec("kafka", "${topic}"),
+            SinkSpec("es", "log-${source}-${+YYYY.MM.dd}"),
+        ],
+        time_col_name="_ptime",
+    )
+    routed = Pipeline(cfg).transform(seq)
+    return sink_metrics(routed, "flagship").orderBy("pipeline", "source", "sink")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from loggie_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from loggie_spark.queries import ORACLES
+
+    return dict(ORACLES)

@@ -55,6 +55,41 @@ DEFAULT_GROK_PATTERNS: dict[str, str] = {
 _GROK_MACRO = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
 
+def suppress_unnamed_groups(pattern: str) -> str:
+    """Turn every unnamed capturing ``(`` into ``(?:``, keeping named
+    groups. Grok macro tables carry stray capture groups (e.g. YEAR
+    ``(\\d\\d){1,2}``) that inflate group indexes past what engines
+    like DuckDB allow (0-9) and cost the regex engine capture slots;
+    only the named groups are ever extracted."""
+    out: list[str] = []
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            in_class = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(" and not pattern.startswith("(?", i):
+            out.append("(?:")
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def expand_grok(match: str, patterns: dict[str, str] | None = None, _depth: int = 0) -> str:
     """Expand ``%{NAME}`` / ``%{NAME:field}`` macros into one regex.
 
@@ -77,7 +112,11 @@ def expand_grok(match: str, patterns: dict[str, str] | None = None, _depth: int 
             return f"(?P<{field}>{inner})"
         return f"(?:{inner})"
 
-    return _GROK_MACRO.sub(repl, match)
+    expanded = _GROK_MACRO.sub(repl, match)
+    if _depth == 0:
+        # Final pass: only the %{NAME:field} groups stay capturing.
+        expanded = suppress_unnamed_groups(expanded)
+    return expanded
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,511 @@
+"""Driver-contract query registry: every operator gets a Spark implementation
+and a DuckDB oracle SQL string over the same parquet tables.
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name and hashes values). Doubles are rounded on both
+sides to dodge representation drift; counts/keys stay integral.
+
+Naming: ``pl_*`` = pipeline/interceptor operators (SURVEY.md §2),
+``th_*`` = TPC-H-ish engine headliners, ``td_*`` = training-data ops
+(dedup / similarity / text analysis).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loggie_spark.actions import apply_program
+from loggie_spark.examples import ACCESS_PATTERN, AUDIT_GROK
+from loggie_spark.patterns import expand_grok, named_groups, DEFAULT_GROK_PATTERNS
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# pl_* — pipeline / interceptor operators
+# ===========================================================================
+
+# -- regex parse + route + aggregate (the reference example pipeline,
+#    pkg/interceptor/transformer/example/pipeline.yml) --------------------
+
+_SYNTH_LINE_SQL = (
+    "'10.0.0.' || CAST(user_id % 250 AS VARCHAR) || ' - - "
+    "[13/Dec/2021:12:40:48 +0000] \"GET /u/' || CAST(user_id AS VARCHAR) || "
+    "' HTTP/1.1\" ' || CASE event_type WHEN 'error' THEN '500' "
+    "WHEN 'purchase' THEN '404' ELSE '200' END || ' ' || "
+    "CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)"
+)
+
+
+def _synth_access_line(df: DataFrame) -> DataFrame:
+    status = (
+        F.when(F.col("event_type") == "error", "500")
+        .when(F.col("event_type") == "purchase", "404")
+        .otherwise("200")
+    )
+    line = F.concat(
+        F.lit("10.0.0."),
+        (F.col("user_id") % 250).cast("string"),
+        F.lit(' - - [13/Dec/2021:12:40:48 +0000] "GET /u/'),
+        F.col("user_id").cast("string"),
+        F.lit(' HTTP/1.1" '),
+        status,
+        F.lit(" "),
+        F.floor(F.col("value")).cast("long").cast("string"),
+    )
+    return df.withColumn("body", line)
+
+
+@register(
+    "pl_regex_route_metrics",
+    oracle=f"""
+    WITH lines AS (
+      SELECT event_id, {_SYNTH_LINE_SQL} AS body FROM events
+    ), parsed AS (
+      SELECT event_id,
+             regexp_extract(body, '{ACCESS_PATTERN.replace("(?<", "(?P<")}', 6) AS status
+      FROM lines
+    )
+    SELECT CASE WHEN status = '404' THEN 'not_found' ELSE 'common' END AS topic,
+           count(*) AS cnt
+    FROM parsed WHERE status <> '500'
+    GROUP BY 1
+    """,
+)
+def pl_regex_route_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex action + if/then/else routing + dropEvent + aggregate —
+    the reference's access-log example end-to-end (normalize/regex.go,
+    transformer actions, metric interceptor)."""
+    events = _t(spark, sf_dir, "events")
+    df = _synth_access_line(events)
+    program = [
+        {"action": "regex(body)", "pattern": ACCESS_PATTERN},
+        {
+            "if": "equal(status, 404)",
+            "then": [{"action": "add(topic, not_found)"}, {"action": "return()"}],
+        },
+        {
+            "if": "equal(status, 500)",
+            "then": [{"action": "dropEvent()"}],
+            "else": [{"action": "add(topic, common)"}],
+        },
+    ]
+    routed = apply_program(df, program).finish()
+    return routed.groupBy("topic").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# -- grok parse (action/grok.go) ------------------------------------------
+
+_AUDIT_LINE_SQL = (
+    "'2022/05/28 01:32:01 logTest.go:' || CAST(event_id % 200 + 1 AS VARCHAR) || "
+    "': 192.168.0.' || CAST(user_id % 200 AS VARCHAR) || "
+    "' /var/log/test.log 54ce5d87-b94c-c40a-74a7-' || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+_GROK_EXPANDED = expand_grok(AUDIT_GROK, DEFAULT_GROK_PATTERNS)
+_GROK_IDX = named_groups(_GROK_EXPANDED)
+
+
+def _grok_oracle() -> str:
+    pat = _GROK_EXPANDED.replace("(?<", "(?P<").replace("'", "''")
+    cols = ", ".join(
+        f"regexp_extract(body, '{pat}', {idx}) AS {name}"
+        for name, idx in _GROK_IDX.items()
+    )
+    return f"""
+    WITH lines AS (SELECT event_id, {_AUDIT_LINE_SQL} AS body FROM events)
+    SELECT event_id, {cols} FROM lines
+    """
+
+
+@register("pl_grok_parse", oracle=_grok_oracle())
+def pl_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("2022/05/28 01:32:01 logTest.go:"),
+        (F.col("event_id") % 200 + 1).cast("string"),
+        F.lit(": 192.168.0."),
+        (F.col("user_id") % 200).cast("string"),
+        F.lit(" /var/log/test.log 54ce5d87-b94c-c40a-74a7-"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    df = events.withColumn("body", line)
+    out = apply_program(
+        df, [{"action": "grok(body)", "match": AUDIT_GROK, "ignoreBlank": False}]
+    ).finish()
+    return out.select("event_id", *list(_GROK_IDX))
+
+
+# -- jsonDecode + strconv (normalize/jsondecode.go, action/strconv.go) -----
+
+
+@register(
+    "pl_json_decode",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    """,
+)
+def pl_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = apply_program(
+        events.withColumnRenamed("props", "body"),
+        [
+            {"action": "jsonDecode(body)", "fields": ["k"]},
+            {"action": "copy(k, k_int)"},
+            {"action": "strconv(k_int, int)"},
+        ],
+    ).finish()
+    return out.select("event_id", F.col("k").alias("k_str"), "k_int")
+
+
+# -- split (normalize/split.go) --------------------------------------------
+
+
+@register(
+    "pl_split",
+    oracle="""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS w1,
+           split_part(text, ' ', 2) AS w2,
+           split_part(text, ' ', 3) AS w3
+    FROM documents
+    """,
+)
+def pl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    parts = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        parts.getItem(0).alias("w1"),
+        parts.getItem(1).alias("w2"),
+        parts.getItem(2).alias("w3"),
+    )
+
+
+# -- timestamp conversion (normalize/timestamp.go) -------------------------
+
+
+@register(
+    "pl_timestamp",
+    oracle="""
+    SELECT event_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_ts,
+           strftime(ts, '%Y.%m.%d') AS day
+    FROM events
+    """,
+)
+def pl_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("unix_ts"),
+        F.date_format("ts", "yyyy.MM.dd").alias("day"),
+    )
+
+
+# -- ${...} route render (pattern.go; fmt action) --------------------------
+
+
+@register(
+    "pl_route_render",
+    oracle="""
+    SELECT 'log-' || event_type || '-' || strftime(ts, '%Y.%m.%d') AS route_key,
+           count(*) AS cnt
+    FROM events GROUP BY 1
+    """,
+)
+def pl_route_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.patterns import compile_pattern
+
+    events = _t(spark, sf_dir, "events")
+    route = compile_pattern("log-${event_type}-${+YYYY.MM.dd}", time_col=F.col("ts"))
+    return (
+        events.withColumn("route_key", route)
+        .groupBy("route_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# -- sink fan-out with selectors (Selector + kafka routing) ----------------
+
+
+@register(
+    "pl_sink_fanout",
+    oracle="""
+    WITH fanned AS (
+      SELECT 'alert' AS sink, event_type AS route_key FROM events
+        WHERE event_type = 'error' AND value > 150
+      UNION ALL
+      SELECT 'archive' AS sink, event_type AS route_key FROM events
+    )
+    SELECT sink, route_key, count(*) AS cnt FROM fanned GROUP BY 1, 2
+    """,
+)
+def pl_sink_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.sinks.router import SinkSpec, explode_to_sinks
+
+    events = _t(spark, sf_dir, "events")
+    sinks = [
+        SinkSpec(
+            "alert",
+            "${event_type}",
+            selector="equal(event_type, error) AND greater(value, 150)",
+        ),
+        SinkSpec("archive", "${event_type}"),
+    ]
+    routed = explode_to_sinks(events, sinks)
+    return routed.groupBy("sink", "route_key").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# -- metric interceptor contract (metric/interceptor.go:78-112) ------------
+
+
+@register(
+    "pl_metrics_contract",
+    oracle="""
+    SELECT 'docs' AS pipeline, source, 'file' AS sink,
+           count(*) AS success_count, 0 AS fail_count
+    FROM documents GROUP BY source
+    """,
+)
+def pl_metrics_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.sinks.metrics import sink_metrics
+    from loggie_spark.sinks.router import SinkSpec, explode_to_sinks
+
+    docs = _t(spark, sf_dir, "documents")
+    routed = explode_to_sinks(docs, [SinkSpec("file", "docs/${source}")])
+    m = sink_metrics(routed, "docs")
+    return m.withColumn("fail_count", F.col("fail_count").cast("long"))
+
+
+# -- broadcast enrich (addK8sMeta-shaped join) -----------------------------
+
+
+@register(
+    "pl_enrich_broadcast",
+    oracle="""
+    SELECT r.r_name AS region, count(*) AS cnt,
+           round(avg(c.c_acctbal), 4) AS avg_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def pl_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.enrich import broadcast_enrich
+
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_regionkey"
+    )
+    region = _t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    df = broadcast_enrich(customer, nation, ["c_nationkey"])
+    df = broadcast_enrich(df, region, ["n_regionkey"])
+    return df.groupBy(F.col("r_name").alias("region")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+    )
+
+
+# -- README aggregator (COUNT/COUNT-DISTINCT/SUM/AVG/MAX/MIN + calculate) --
+
+
+@register(
+    "pl_aggregator",
+    oracle="""
+    SELECT event_type,
+           count(*) AS cnt,
+           count(DISTINCT user_id) AS users,
+           round(sum(value), 4) AS total,
+           round(avg(value), 4) AS mean,
+           round(max(value), 4) AS mx,
+           round(min(value), 4) AS mn,
+           round(sum(value) / count(*), 4) AS per_event
+    FROM events GROUP BY event_type
+    """,
+)
+def pl_aggregator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.aggregator import aggregate
+
+    events = _t(spark, sf_dir, "events")
+    return aggregate(
+        events,
+        group_by=["event_type"],
+        select=[
+            ("COUNT", "event_id", "cnt"),
+            ("COUNT-DISTINCT", "user_id", "users"),
+            ("SUM", "value", "total"),
+            ("AVG", "value", "mean"),
+            ("MAX", "value", "mx"),
+            ("MIN", "value", "mn"),
+        ],
+        calculate=[("per_event", "${total}/${cnt}")],
+        round_to=4,
+    )
+
+
+# -- maxbytes truncation (maxbytes/interceptor.go) -------------------------
+
+
+@register(
+    "pl_maxbytes",
+    oracle="""
+    SELECT doc_id, substring(text, 1, 100) AS body, length(substring(text, 1, 100)) AS blen
+    FROM documents
+    """,
+)
+def pl_maxbytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.functions.truncate import truncate_utf8_bytes
+
+    docs = _t(spark, sf_dir, "documents")
+    # Corpus is ASCII so the UTF-8-safe byte truncation equals the
+    # char-based oracle; non-ASCII safety is unit-tested separately.
+    out = docs.withColumn("body", truncate_utf8_bytes("text", 100))
+    return out.select("doc_id", "body", F.length("body").alias("blen"))
+
+
+# -- logAlert (logalert/alerting.go matchers → alert rows) -----------------
+
+
+@register(
+    "pl_logalert",
+    oracle="""
+    SELECT event_id, user_id, round(value, 4) AS value
+    FROM events WHERE event_type = 'error' AND value > 150
+    """,
+)
+def pl_logalert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.expr import compile_condition
+
+    events = _t(spark, sf_dir, "events")
+    cond = compile_condition("equal(event_type, error) AND greater(value, 150)")
+    return events.filter(cond).select(
+        "event_id", "user_id", F.round("value", 4).alias("value")
+    )
+
+
+# ===========================================================================
+# th_* — engine headliners (joins + aggregates at scale)
+# ===========================================================================
+
+
+@register(
+    "th_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS cnt
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def th_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "th_q3_revenue",
+    oracle="""
+    SELECT o.o_orderkey AS orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    HAVING sum(l.l_extendedprice * (1 - l.l_discount)) > 100000
+    """,
+)
+def th_q3_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    rev = joined.groupBy(F.col("o_orderkey").alias("orderkey")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev")
+    )
+    return rev.filter(F.col("_rev") > 100000).select(
+        "orderkey", F.round("_rev", 4).alias("revenue")
+    )
+
+
+@register(
+    "th_q5_region_revenue",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def th_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name")
+    )
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(dim), o.o_custkey == dim.c_custkey
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )

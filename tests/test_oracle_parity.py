@@ -1,0 +1,91 @@
+"""Mimic the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB at sf0.01, compare row count,
+column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return "<null>"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "<nan>"
+        return f"{v:.4f}"
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, (int,)):
+        return str(v)
+    return str(v)
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+QUERY_NAMES = sorted(entrymod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_query_matches_oracle(spark, duck, name):
+    q = entrymod.queries()[name]
+    oracles = entrymod.oracle_sql()
+    sdf = q(spark, SF)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    if name not in oracles:
+        # rows-only check (driver's weaker path for non-SQL ops)
+        assert len(spark_rows) >= 0
+        return
+
+    res = duck.execute(oracles[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: rowcount {len(spark_rows)} vs {len(duck_rows)}"
+    )
+    s, d = _rowset(spark_cols, spark_rows), _rowset(duck_cols, duck_rows)
+    mismatch = [i for i, (a, b) in enumerate(zip(s, d)) if a != b][:5]
+    assert s == d, f"{name}: value mismatch at {mismatch}: {[(s[i], d[i]) for i in mismatch]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"pipeline", "source", "sink", "success_count", "fail_count"} <= set(df.columns)
