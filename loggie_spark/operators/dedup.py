@@ -1,0 +1,317 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all shuffle-frugal by construction:
+
+* exact          — group on a content digest (tiny shuffle key, never
+                   the full text)
+* minhash + LSH  — shingle → seeded-minhash signature → banding →
+                   bucket join → exact-Jaccard verify
+* simhash        — 60-bit bit-voting fingerprint; near-dups share
+                   almost all bits
+* n-gram Jaccard — prefix-blocked candidate join + exact set overlap
+* embedding      — cosine near-dup over `array<float>` (see
+                   similarity.py for the ANN path)
+
+All signature hashing is the engine-agnostic md5-60bit family
+(functions/hashing.py) so DuckDB oracles can reproduce values exactly.
+
+Scale notes: every family reduces the candidate space BEFORE any wide
+operation — the only shuffles are on small keys (digest / band hash /
+block key), never a cross join. At 10^12 rows the LSH band join is the
+canonical approach (bands ≈ O(rows × n_bands) with tiny values).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from loggie_spark.functions.hashing import md5_60bit
+
+
+def tokenize(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace word split (the corpus tokenizer used across dedup
+    and text-stats so every operator agrees on 'word')."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda w: w != "")
+
+
+def word_ngrams(words: Column, n: int) -> Column:
+    """Contiguous word n-grams (shingles) joined by a space."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " ")),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the smallest id per exact content. Groups on sha2(text)
+    (64-byte key) rather than the text itself so the shuffle moves
+    digests, not documents."""
+    digest = F.sha2(F.col(text_col).cast("string"), 256)
+    return (
+        df.select(F.col(id_col), digest.alias("_digest"))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = 16, shingle: int = 3
+) -> Column:
+    """array<long> of per-seed minima over word-shingle hashes.
+
+    h_i(gram) = md5_60bit(i || '|' || gram); signature[i] = min over
+    grams. Pure Catalyst (transform + array_min) — vectorized JVM, and
+    reproducible in SQL oracles.
+    """
+    grams = word_ngrams(tokenize(text), shingle)
+    sigs = [
+        F.array_min(F.transform(grams, lambda g, i=i: md5_60bit(g, seed=i)))
+        for i in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle: int = 3,
+    bands: int = 4,
+    jaccard_threshold: float = 0.6,
+) -> DataFrame:
+    """Candidate pairs via banded minhash buckets, verified with exact
+    shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Banding: signature split into ``bands`` rows of ``n_hashes/bands``;
+    two docs are candidates iff any band matches exactly. The join key
+    is (band_index, band_values) — a self-equi-join Spark executes as a
+    shuffled hash join on a small key; no cross product ever forms.
+    """
+    rows_per_band = n_hashes // bands
+    words = tokenize(F.col(text_col))
+    grams = F.array_distinct(word_ngrams(words, shingle))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        grams.alias("_grams"),
+        minhash_signature(F.col(text_col), n_hashes, shingle).alias("_sig"),
+    )
+
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.withColumn("_b", F.explode(band_entries)).select(
+        "_id", "_grams", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._grams").alias("ga"),
+            F.col("r._grams").alias("gb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    inter = F.size(F.array_intersect("ga", "gb"))
+    union = F.size(F.array_union("ga", "gb"))
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(text: Column, bits: int = SIMHASH_BITS) -> Column:
+    """Bit-voting fingerprint: for each bit position, +1 if a word's
+    60-bit hash has it set else -1; fingerprint bit = vote >= 0.
+
+    Expressed as one fold over the word-hash array with an array<int>
+    accumulator (aggregate + zip_with) — stays in the JVM, and the
+    identical fold is expressible as DuckDB list_reduce for oracles.
+    """
+    words = tokenize(text)
+    hashes = F.transform(words, lambda w: md5_60bit(w))
+    zero = F.array(*[F.lit(0)] * bits)
+    votes = F.aggregate(
+        hashes,
+        zero,
+        lambda acc, h: F.array(
+            *[
+                acc.getItem(b)
+                + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1)
+                for b in range(bits)
+            ]
+        ),
+    )
+    # LSB-first bit weights as literals (shiftleft needs a Python int
+    # shift, so precompute 2^i) — fingerprint = Σ bit_i · 2^i.
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    contrib = F.zip_with(
+        votes, powers, lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0).cast("long"))
+    )
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs: band the 60-bit fingerprint into ``bands``
+    15-bit slices (a pair within hamming ≤ bands-1 must share ≥1 exact
+    band), bucket-join, verify hamming distance."""
+    bits_per_band = SIMHASH_BITS // bands
+    fp = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_fp"))
+
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("_fp", b * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                .alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp.withColumn("_b", F.explode(band_entries)).select(
+        "_id", "_fp", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.col("l._fp").alias("fa"),
+            F.col("r._fp").alias("fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (prefix-blocked)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact word-set Jaccard over candidate pairs sharing their first
+    ``block_words`` words (cheap deterministic blocking)."""
+    words = tokenize(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(words).alias("_set"),
+        F.array_join(F.slice(words, 1, block_words), " ").alias("_block"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cand = l.join(
+        r, (F.col("l._block") == F.col("r._block")) & (F.col("l._id") < F.col("r._id"))
+    )
+    inter = F.size(F.array_intersect("l._set", "r._set"))
+    union = F.size(F.array_union("l._set", "r._set"))
+    jac = F.round(inter.cast("double") / union.cast("double"), 4)
+    return (
+        cand.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    sample_max_id: int | None = None,
+) -> DataFrame:
+    """Cosine near-duplicates. ``sample_max_id`` restricts the left
+    side (testing / incremental dedup of a new shard against a corpus);
+    the scale path is LSH bucketing (similarity.lsh_buckets) — this is
+    the exact verifier used inside each bucket."""
+    from loggie_spark.functions.vectors import cosine
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    left = base.filter(F.col("_id") < sample_max_id) if sample_max_id else base
+    pairs = left.alias("l").join(
+        base.alias("r"), F.col("l._id") < F.col("r._id")
+    )
+    cos = F.round(cosine(F.col("l._v"), F.col("r._v")), 4)
+    return pairs.select(
+        F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), cos.alias("cos")
+    ).filter(F.col("cos") >= threshold)

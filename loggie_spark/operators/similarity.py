@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+* :func:`brute_force_topk` — exact cosine top-k: the correctness
+  baseline. Query side is broadcast; the corpus is never shuffled.
+* :func:`lsh_buckets` / :func:`lsh_topk` — the scale path: sign-random-
+  projection buckets shrink the candidate set, then the exact scorer
+  runs per bucket. Hyperplanes are generated from an integer LCG
+  formula (exact rational arithmetic) so buckets are reproducible
+  across engines and runs — no RNG state to ship.
+
+At 100 TB the corpus stays partitioned by bucket (Iceberg partition),
+queries broadcast, and each executor scores only its bucket's
+candidates — a classic IVF-style layout built from stock DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from loggie_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against
+    the corpus, score JVM-side, per-query window top-k.
+
+    Returns (query_id, neighbor_id, cos, rank); self-matches excluded;
+    ties broken by neighbor id for determinism.
+    """
+    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
+    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+# -- deterministic hyperplanes (engine-agnostic integer arithmetic) --------
+
+
+def _plane_component(p: int, j: int) -> float:
+    """Pseudo-random in [-0.5, 0.5) from exact integer ops: the same
+    value is computable in any SQL engine (no libm, no RNG)."""
+    x = ((p * 1_000_003 + j) * 2_654_435_761) % 2_000_003
+    return (x % 1000) / 1000.0 - 0.5
+
+
+def plane_vector(p: int, dim: int) -> list[float]:
+    return [_plane_component(p, j) for j in range(dim)]
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Sign-random-projection bucket id: bit p = (v · plane_p) >= 0."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in plane_vector(p, dim)])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH
+    bucket, then exact cosine + window top-k inside it. Recall is
+    tunable via n_planes (fewer planes → bigger buckets → higher
+    recall, more compute)."""
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("_qv"),
+        lsh_bucket(F.col(q_vec), n_planes, dim).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("_cv"),
+        lsh_bucket(F.col(c_vec), n_planes, dim).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["_bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank", "_bucket")
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, content fingerprinting.
+
+All pure Catalyst expressions (regexp_count / array ops / md5) — no
+Python in the hot path, all reproducible in SQL oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from loggie_spark.functions.hashing import md5_60bit
+from loggie_spark.operators.dedup import tokenize
+
+# Tiny per-language stopword lists (n-gram-heuristic langid: score a
+# language by its stopword hit-rate; deterministic and SQL-portable).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "de", "que", "por"],
+}
+
+_BPE_ISH_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_PUNCT_REGEX = r"[^\w\s]"
+
+
+def stopword_fraction(text: Column, lang: str) -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    words = tokenize(text)
+    hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS[lang])))
+    return F.when(F.size(words) > 0, hits.cast("double") / F.size(words)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def language_id(text: Column, threshold: float = 0.05) -> Column:
+    """argmax over language stopword scores; alphabetical tie-break;
+    'und' (undetermined) when the best score is below threshold."""
+    langs = sorted(STOPWORDS)
+    scores = [stopword_fraction(text, lg) for lg in langs]
+    best = F.greatest(*scores)
+    pred = F.lit("und")
+    # Walk in reverse-alphabetical so the earliest language wins ties.
+    for lg, sc in reversed(list(zip(langs, scores))):
+        pred = F.when(sc == best, F.lit(lg)).otherwise(pred)
+    return F.when(best >= threshold, pred).otherwise(F.lit("und"))
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokenize(text, lowercase=False))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token estimate: letter runs + digit runs + each symbol
+    count as one token (the standard cheap pre-tokenizer proxy)."""
+    return F.regexp_count(text, F.lit(_BPE_ISH_REGEX))
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.when(
+        F.length(text) > 0,
+        F.regexp_count(text, F.lit(_PUNCT_REGEX)).cast("double") / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite curation score in [0,1]:
+    0.4·length-saturation(words/100) + 0.3·lexical-diversity +
+    0.3·(1 - punctuation-density). Deterministic, SQL-portable."""
+    words = tokenize(text)
+    n = F.size(words)
+    length_term = F.least(n.cast("double") / 100.0, F.lit(1.0))
+    diversity = F.when(
+        n > 0, F.size(F.array_distinct(words)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+    return (
+        F.lit(0.4) * length_term + F.lit(0.3) * diversity + F.lit(0.3) * (1.0 - punct_ratio(text))
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """60-bit content fingerprint (engine-agnostic md5 path)."""
+    return md5_60bit(text)
+
+
+def fingerprint_rolling(text: Column, mod: int = 2_147_483_647) -> Column:
+    """Polynomial rolling hash over word hashes (Horner, exact integer
+    arithmetic): acc = (acc·31 + h(w) mod M) mod M. Order-sensitive —
+    distinguishes permuted documents, unlike the bag-of-words families."""
+    words = tokenize(text)
+    return F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * 31 + F.pmod(md5_60bit(w), F.lit(mod))) % mod,
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All stats in one narrow projection (single pass, no shuffle)."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_words": token_count_ws(t),
+            "n_tokens_bpe": token_count_bpe(t),
+            "punct_ratio": F.round(punct_ratio(t), 4),
+            "quality": F.round(quality_score(t), 4),
+            "lang_pred": language_id(t),
+            "fingerprint": fingerprint_md5(t),
+        }
+    )

@@ -509,3 +509,317 @@ def th_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         )
     )
+
+
+# ===========================================================================
+# td_* — training-data operators (dedup / similarity / text analysis)
+# ===========================================================================
+
+from loggie_spark.functions.hashing import md5_60bit_sql  # noqa: E402
+
+# Shared SQL fragments (tokenizer parity: corpus is clean single-space
+# ASCII, verified — string_split(lower(text),' ') ≡ split(lower, \s+)).
+_WORDS_SQL = "list_filter(string_split(lower(text), ' '), w -> w <> '')"
+
+
+@register(
+    "td_dedup_exact",
+    oracle="SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+)
+def td_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+def _minhash_oracle(n_hashes=8, shingle=3, bands=4, threshold=0.12) -> str:
+    rows = n_hashes // bands
+    gram = "array_to_string(words[i:i+{}], ' ')".format(shingle - 1)
+    sig_cols = ", ".join(
+        f"list_min([{md5_60bit_sql('g', seed=i)} for g in grams]) AS s{i}"
+        for i in range(n_hashes)
+    )
+    band_cols = ", ".join(
+        "concat_ws(',', "
+        + ", ".join(f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"l.band{b} = r.band{b}" for b in range(bands))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_WORDS_SQL} AS words FROM documents
+    ), shingled AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= {shingle}
+                  THEN [{gram} for i in range(1, len(words) - {shingle - 2})]
+                  ELSE [array_to_string(words, ' ')] END AS grams
+      FROM toks
+    ), sigs AS (
+      SELECT doc_id, list_distinct(grams) AS gset, {sig_cols} FROM shingled
+    ), banded AS (
+      SELECT doc_id, gset, {band_cols} FROM sigs
+    ), cand AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b, l.gset AS ga, r.gset AS gb
+      FROM banded l JOIN banded r
+        ON l.doc_id < r.doc_id AND ({band_match})
+    )
+    SELECT id_a, id_b,
+           round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+                 len(list_distinct(ga || gb)), 4) AS jaccard
+    FROM cand
+    WHERE round(CAST(len(list_intersect(ga, gb)) AS DOUBLE) /
+                len(list_distinct(ga || gb)), 4) >= {threshold}
+    """
+
+
+@register("td_dedup_minhash_lsh", oracle=_minhash_oracle())
+def td_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        n_hashes=8,
+        shingle=3,
+        bands=4,
+        jaccard_threshold=0.12,
+    )
+
+
+def _simhash_oracle(bits=60) -> str:
+    word_hash = md5_60bit_sql("w")
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {b}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) >= 0 THEN (1::BIGINT << {b}) ELSE 0::BIGINT END)"
+        for b in range(bits)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, list_transform({_WORDS_SQL}, w -> {word_hash}) AS hs
+      FROM documents
+    )
+    SELECT doc_id, {terms} AS simhash FROM toks
+    """
+
+
+@register("td_dedup_simhash", oracle=_simhash_oracle())
+def td_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.dedup import simhash
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
+
+
+@register(
+    "td_dedup_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '),
+             w -> w <> '')) AS wset,
+             array_to_string(list_filter(string_split(lower(text), ' '),
+             w -> w <> '')[1:2], ' ') AS block
+      FROM documents
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           round(CAST(len(list_intersect(l.wset, r.wset)) AS DOUBLE) /
+                 len(list_distinct(l.wset || r.wset)), 4) AS jaccard
+    FROM toks l JOIN toks r ON l.block = r.block AND l.doc_id < r.doc_id
+    WHERE round(CAST(len(list_intersect(l.wset, r.wset)) AS DOUBLE) /
+                len(list_distinct(l.wset || r.wset)), 4) >= 0.5
+    """,
+)
+def td_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_words=2, threshold=0.5
+    )
+
+
+_COS_SQL = """
+    round(
+      list_sum([CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)
+                for i in generate_series(1, len(l.embedding))]) /
+      (sqrt(list_sum([CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE)
+                for i in generate_series(1, len(l.embedding))])) *
+       sqrt(list_sum([CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)
+                for i in generate_series(1, len(r.embedding))]))), 4)
+"""
+
+
+@register(
+    "td_embed_dup_pairs",
+    oracle=f"""
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_SQL} AS cos
+    FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+    WHERE l.vec_id < 50 AND {_COS_SQL} >= 0.4
+    """,
+)
+def td_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Threshold 0.4 (not the 0.95 production default): the synthetic
+    # corpus has no true near-dups (max pairwise cos ≈ 0.49), and the
+    # oracle check needs a non-empty result to be meaningful.
+    from loggie_spark.operators.dedup import embedding_cosine_pairs
+
+    return embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, sample_max_id=50
+    )
+
+
+@register(
+    "td_sim_topk_brute",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id, {_COS_SQL} AS cos,
+             CAST(row_number() OVER (PARTITION BY l.vec_id
+                  ORDER BY {_COS_SQL} DESC, r.vec_id ASC) AS INT) AS rank
+      FROM embeddings l JOIN embeddings r ON l.vec_id <> r.vec_id
+      WHERE l.vec_id < 20
+    ) WHERE rank <= 3
+    """,
+)
+def td_sim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb.filter(F.col("vec_id") < 20), emb, k=3)
+
+
+def _lsh_oracle(n_planes=4, dim=64, k=3) -> str:
+    from loggie_spark.operators.similarity import plane_vector
+
+    def dot_plane(alias: str, p: int) -> str:
+        vec = plane_vector(p, dim)
+        lits = ", ".join(repr(v) for v in vec)
+        return (
+            f"list_sum([CAST({alias}.embedding[i] AS DOUBLE) * ([{lits}])[i] "
+            f"for i in generate_series(1, {dim})])"
+        )
+
+    def bucket(alias: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot_plane(alias, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding, ({bucket('embeddings')}) AS bucket
+      FROM embeddings
+    )
+    SELECT * FROM (
+      SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id, {_COS_SQL} AS cos,
+             CAST(row_number() OVER (PARTITION BY l.vec_id
+                  ORDER BY {_COS_SQL} DESC, r.vec_id ASC) AS INT) AS rank,
+             l.bucket AS bucket
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+      WHERE l.vec_id < 20
+    ) WHERE rank <= {k}
+    """
+
+
+@register("td_sim_topk_lsh", oracle=_lsh_oracle())
+def td_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_topk(emb.filter(F.col("vec_id") < 20), emb, k=3, n_planes=4, dim=64)
+    return out.withColumnRenamed("_bucket", "bucket")
+
+
+def _langid_oracle(threshold=0.05) -> str:
+    from loggie_spark.operators.textstats import STOPWORDS
+
+    frac_cols = []
+    for lg in sorted(STOPWORDS):
+        lits = ", ".join(f"'{w}'" for w in STOPWORDS[lg])
+        frac_cols.append(
+            f"CASE WHEN len(words) > 0 THEN CAST(len(list_filter(words, "
+            f"w -> list_contains([{lits}], w))) AS DOUBLE) / len(words) "
+            f"ELSE 0.0 END AS s_{lg}"
+        )
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN s_{lg} = best THEN '{lg}'" for lg in langs)
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents),
+    scored AS (SELECT doc_id, lang, {', '.join(frac_cols)} FROM toks),
+    ranked AS (SELECT doc_id, lang, {best} AS best, * FROM scored)
+    SELECT doc_id, lang,
+           CASE WHEN best >= {threshold} THEN CASE {case} END
+                ELSE 'und' END AS lang_pred
+    FROM ranked
+    """
+
+
+@register("td_langid", oracle=_langid_oracle())
+def td_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", language_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "td_quality_score",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents)
+    SELECT doc_id,
+           round(0.4 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN len(words) > 0
+                        THEN CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                        ELSE 0.0 END)
+               + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+                        THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                             / length(text) ELSE 0.0 END)), 4) AS quality
+    FROM toks
+    """,
+)
+def td_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(quality_score(F.col("text")), 4).alias("quality"))
+
+
+@register(
+    "td_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def td_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.textstats import token_count_bpe, token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_ws(F.col("text")).cast("long").alias("n_words"),
+        token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe"),
+    )
+
+
+@register(
+    "td_fingerprint",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents)
+    SELECT doc_id,
+           {md5_60bit_sql('text')} AS fp_md5,
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(words, w -> {md5_60bit_sql('w')} % 2147483647)),
+             (acc, h) -> (acc * 31 + h) % 2147483647) AS fp_rolling
+    FROM toks
+    """,
+)
+def td_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.operators.textstats import fingerprint_md5, fingerprint_rolling
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        fingerprint_rolling(F.col("text")).alias("fp_rolling"),
+    )

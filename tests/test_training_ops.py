@@ -1,0 +1,149 @@
+"""Unit tests for training-data operators: dedup families find planted
+duplicates, similarity search returns the planted neighbor, multimodal
+plumbing round-trips through mapInPandas."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    other = "completely different words compose this unrelated document here now"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # exact dup of 1
+            Row(doc_id=3, text=near),  # near dup of 1
+            Row(doc_id=4, text=other),
+        ]
+    )
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    from loggie_spark.operators.dedup import dedup_exact
+
+    kept = sorted(r.doc_id for r in dedup_exact(_docs(spark)).collect())
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_finds_planted_near_dup(spark):
+    from loggie_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark), n_hashes=16, shingle=2, bands=8, jaccard_threshold=0.5
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got  # exact dup always collides
+    assert (1, 3) in got or (2, 3) in got  # near dup via some band
+    assert not any({a, b} == {1, 4} for a, b in got)
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    from loggie_spark.operators.dedup import simhash
+
+    df = _docs(spark).select("doc_id", simhash(F.col("text")).alias("fp"))
+    fp = {r.doc_id: r.fp for r in df.collect()}
+    assert fp[1] == fp[2]
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    ham14 = bin(fp[1] ^ fp[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated doc
+
+
+def test_ngram_jaccard_pairs(spark):
+    from loggie_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs(spark), block_words=3, threshold=0.5).collect()
+    got = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] >= 0.5
+
+
+def _embeddings(spark):
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.99, 0.1, 0.0, 0.0]),  # near 1
+        Row(vec_id=3, embedding=[0.0, 1.0, 0.0, 0.0]),
+        Row(vec_id=4, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_embedding_cosine_pairs(spark):
+    from loggie_spark.operators.dedup import embedding_cosine_pairs
+
+    pairs = embedding_cosine_pairs(_embeddings(spark), threshold=0.9).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_brute_force_topk(spark):
+    from loggie_spark.operators.similarity import brute_force_topk
+
+    emb = _embeddings(spark)
+    out = brute_force_topk(emb.filter(F.col("vec_id") == 1), emb, k=2).collect()
+    ranked = sorted(((r.rank, r.neighbor_id) for r in out))
+    assert ranked[0] == (1, 2)  # nearest is the planted neighbor
+
+
+def test_lsh_topk_same_bucket_neighbor(spark):
+    from loggie_spark.operators.similarity import lsh_topk
+
+    emb = _embeddings(spark)
+    out = lsh_topk(emb.filter(F.col("vec_id") == 1), emb, k=2, n_planes=2, dim=4)
+    rows = out.collect()
+    # vec 2 shares vec 1's bucket (nearly parallel vectors) and ranks first.
+    by_rank = {r.rank: r.neighbor_id for r in rows}
+    assert by_rank.get(1) == 2
+
+
+def test_text_stats(spark):
+    from loggie_spark.operators.textstats import text_stats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="The quick fox! It is the best, the fastest fox.")]
+    )
+    r = text_stats(df).collect()[0]
+    assert r.n_words == 10
+    assert r.n_tokens_bpe == 13  # 10 letter-runs + 3 symbols (! , .)
+    assert r.lang_pred == "en"
+    assert 0.0 < r.quality <= 1.0
+    assert r.fingerprint > 0
+
+
+def test_langid_empty_text(spark):
+    from loggie_spark.operators.textstats import language_id
+
+    df = spark.createDataFrame([Row(text=""), Row(text="xyzzy plugh")])
+    out = [r.p for r in df.select(language_id(F.col("text")).alias("p")).collect()]
+    assert out == ["und", "und"]
+
+
+def test_multimodal_plumbing(spark):
+    from loggie_spark.operators.multimodal import (
+        decode_and_featurize,
+        frame_sample_plan,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, 12)
+    feats = decode_and_featurize(media).collect()
+    assert len(feats) == 12
+    import hashlib
+
+    expect = hashlib.md5(b"payload-0").hexdigest()
+    got = {r.media_id: r for r in feats}
+    assert got["m-000000"].feat_hash == expect
+    assert got["m-000000"].n_bytes == len(b"payload-0")
+
+    frames = frame_sample_plan(media, every_ms=1000)
+    vids = media.filter(F.col("kind") == "video").count()
+    assert frames.count() >= vids  # ≥1 sampled frame per video
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        decode_and_featurize(media, strict=True).collect()
