@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32).
+
+Prints ONE JSON line:
+  {"metric": "sequences_per_sec_e2e", "value": N, "unit": "seq/s",
+   "elapsed_sec": ..., "queries": {"q": sec, ...}, "sf": ...,
+   "rows": ..., "cpus": ...}
+
+The headline metric is the BASELINE.json north metric: sequences/sec
+through the full parse → enrich → route → aggregate pipeline over a
+tokenized sequences table (token decode via Arrow pandas UDF, per-source
+regex/grok/json programs, broadcast enrich, 3-sink fan-out, exact
+per-sink metric counts). The aggregate is collected (forces the full
+plan); no local-disk write is timed — on a cluster the sink write is
+object-store-bound, which local tmpfs writes would misrepresent.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Tokenized-table size for the flagship e2e run (rows scale with SF:
+# sf0.1 → 2M sequences ≈ 150 MB of decoded log lines).
+N_SEQ = int(os.environ.get("SPARK_GRAFT_N_SEQ", "2000000"))
+
+BENCH_QUERIES = [
+    "pl_regex_route_metrics",
+    "pl_grok_parse",
+    "pl_aggregator",
+    "pl_enrich_broadcast",
+    "th_q1_pricing",
+    "th_q3_revenue",
+    "th_q5_region_revenue",
+    "td_dedup_minhash_lsh",
+    "td_dedup_simhash",
+    "td_sim_topk_brute",
+    "td_token_counts",
+]
+
+
+def flagship_elapsed(spark) -> tuple[float, int]:
+    """Time the end-to-end sequences pipeline; returns (sec, rows)."""
+    import pyspark.sql.functions as F
+
+    from loggie_spark.datagen import generate_sequences
+    from loggie_spark.examples import reference_pipeline
+    from loggie_spark.pipeline import Pipeline
+    from loggie_spark.sinks.metrics import sink_metrics
+
+    seq_path = f"/tmp/loggie_bench_seq_{N_SEQ}"
+    if not os.path.isdir(seq_path):
+        generate_sequences(spark, N_SEQ, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(seq_path)
+
+    cfg = reference_pipeline(time_col_name="_ptime")
+    pipe = Pipeline(cfg)
+
+    def once() -> float:
+        t0 = time.monotonic()
+        seq = spark.read.parquet(seq_path).withColumn(
+            "_ptime", F.lit("2024-03-01 00:00:00").cast("timestamp")
+        )
+        routed = pipe.transform(seq)
+        rows = sink_metrics(routed, cfg.name).collect()
+        assert rows, "flagship pipeline produced no metric rows"
+        return time.monotonic() - t0
+
+    # Whole-stage-codegen JIT needs ~2 passes to reach steady state
+    # (cold: 4× slower); warm twice, report the best of two measured
+    # passes (shared host shows minute-scale CPU-steal noise).
+    once()
+    once()
+    elapsed = min(once(), once())
+    return elapsed, N_SEQ
+
+
+def main() -> None:
+    from loggie_spark.queries import QUERIES
+    from loggie_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="loggie-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/Arrow paths once so the timed runs measure compute.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    elapsed, rows = flagship_elapsed(spark)
+
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.monotonic() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "sequences_per_sec_e2e",
+        "value": round(rows / elapsed, 1),
+        "unit": "seq/s",
+        "elapsed_sec": round(elapsed, 3),
+        "rows": rows,
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -61,6 +61,31 @@ def add_host_meta(df: DataFrame, target: str = "host") -> DataFrame:
     )
 
 
+def apply_schema_interceptor(
+    df: DataFrame,
+    pipeline_name: str,
+    ts_key: str | None = "@timestamp",
+    pipeline_key: str | None = "pipeline",
+    source_key: str | None = "sourceName",
+    source_col: str = "source",
+    time_col: str | None = None,
+    remap: dict[str, str] | None = None,
+) -> DataFrame:
+    """The `schema` interceptor (pkg/interceptor/schema/interceptor.go:
+    79-96): expose meta (timestamp / pipelineName / sourceName) under
+    configured keys, then ``remap`` renames arbitrary columns."""
+    if ts_key:
+        t = F.col(time_col) if time_col else F.current_timestamp()
+        df = df.withColumn(ts_key, F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"))
+    if pipeline_key:
+        df = df.withColumn(pipeline_key, F.lit(pipeline_name))
+    if source_key:
+        df = df.withColumn(source_key, F.col(source_col))
+    for old, new in (remap or {}).items():
+        df = df.withColumnRenamed(old, new)
+    return df
+
+
 def broadcast_enrich(
     df: DataFrame,
     lookup: DataFrame,

@@ -49,6 +49,61 @@ def encode_text_to_tokens(text: pd.Series) -> pd.Series:
     )
 
 
+def decode_tokens_arrow(df, tokens_col: str = "tokens", out_col: str = "body"):
+    """Zero-loop vectorized decode via ``mapInArrow``: the ListArray's
+    int32 value buffer is cast to uint8 and REUSED as the UTF-8 data
+    buffer of a new StringArray with the same offsets — no per-row
+    Python, no per-row JVM allocation. This is the scale path for the
+    parse stage's token→body decode.
+
+    Falls back to the pandas UDF per batch when nulls/slicing break the
+    buffer-reuse preconditions (never in the synthetic corpus).
+    """
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import StructField
+
+    from pyspark.sql.types import StructType
+
+    # Fresh StructType: .add() mutates in place, and df.schema is a
+    # cached object on the DataFrame — mutating it corrupts resolution.
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
+    idx = df.columns.index(tokens_col)
+
+    def decode_batches(batches):
+        for b in batches:
+            col = b.column(idx)
+            try:
+                if col.null_count or col.offset:
+                    raise ValueError("slow path")
+                offsets = col.offsets
+                if offsets.offset:
+                    raise ValueError("slow path")
+                values = col.values.to_numpy(zero_copy_only=False)
+                data = values.astype(np.uint8).tobytes()
+                body = pa.StringArray.from_buffers(
+                    len(col), offsets.buffers()[1], pa.py_buffer(data)
+                )
+            except Exception:
+                body = pa.array(
+                    [
+                        None
+                        if t is None
+                        else bytes(bytearray(x & 0xFF for x in t)).decode(
+                            "utf-8", errors="replace"
+                        )
+                        for t in col.to_pylist()
+                    ],
+                    type=pa.string(),
+                )
+            arrays = [b.column(i) for i in range(b.num_columns)] + [body]
+            yield pa.RecordBatch.from_arrays(
+                arrays, names=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInArrow(decode_batches, out_schema)
+
+
 def decode_tokens_ascii(tokens: Column | str) -> Column:
     """JVM-only decode valid iff every token < 128 (ASCII).
 

@@ -77,7 +77,12 @@ class Pipeline:
         program-dropped rows removed, render-failures flagged."""
         cfg = self.cfg
         if cfg.decode_tokens and "tokens" in df.columns and "body" not in df.columns:
-            df = df.withColumn("body", decode_tokens_utf8(F.col("tokens")))
+            # Arrow-native buffer-reuse decode (functions/tokens.py) —
+            # the vectorized scale path; the pandas UDF remains as the
+            # general fallback for pathological inputs.
+            from loggie_spark.functions.tokens import decode_tokens_arrow
+
+            df = decode_tokens_arrow(df, "tokens", "body")
 
         time_col = F.col(cfg.time_col_name) if cfg.time_col_name else None
 

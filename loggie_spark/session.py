@@ -35,9 +35,17 @@ def get_spark(
         n = cpus or os.cpu_count() or 8
         shuffle_partitions = int(n)
 
+    # In local mode the driver JVM IS the executor: the 1g default heap
+    # OOMs the vectorized parquet reader at 32 concurrent tasks over
+    # array<int32> columns. Size it to the machine (must be set before
+    # the JVM launches; no-op if a gateway already exists).
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", "-Xms8g -XX:+UseParallelGC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

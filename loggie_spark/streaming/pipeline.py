@@ -1,0 +1,103 @@
+"""Structured Streaming face of the pipeline — the true analog of
+loggie's continuous mode (sources → interceptors → sink, running
+forever with at-least-once checkpointing).
+
+The SAME compiled transform (Pipeline.transform) runs on a streaming
+DataFrame: every action compiles to stateless column expressions, so
+the parse → enrich → route program is streaming-safe by construction.
+What changes is the rim:
+
+* source: ``readStream`` (file/kafka source; file shown here — a real
+  deployment points at kafka with the identical downstream code)
+* checkpointing: Spark's streaming WAL replaces our batch manifest
+  (offset tracking ≙ loggie's file-offset registry, SURVEY §3.4)
+* metrics: the 10s-period eventbus export (sink/listener.go:99-118)
+  becomes a watermarked tumbling-window aggregate
+* queue batching (size/bytes/timeout): trigger intervals /
+  maxFilesPerTrigger — declarative, not hand-built
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+from loggie_spark.pipeline import Pipeline, PipelineConfig
+from loggie_spark.sinks.router import FAILED_COL, ROUTE_COL, SINK_COL
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    schema: StructType | str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Continuous parse → enrich → route into a partitioned parquet
+    sink. ``available_now=True`` drains the backlog and stops (used in
+    tests and backfills); otherwise the query runs until stopped."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+
+    routed = Pipeline(cfg).transform(stream)
+
+    writer = (
+        routed.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy(SINK_COL, ROUTE_COL)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_metrics(
+    routed: DataFrame,
+    pipeline_name: str,
+    time_col: str = "event_time",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    source_col: str = "source",
+) -> DataFrame:
+    """Windowed per-sink success/fail counts — the streaming version of
+    the metric-interceptor contract: one row per (window, pipeline,
+    source, sink) per period, exactly like the eventbus export cycle."""
+    failed = (
+        F.col(FAILED_COL).cast("boolean")
+        if FAILED_COL in routed.columns
+        else F.lit(False)
+    )
+    return (
+        routed.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(F.col(time_col), window).alias("window"),
+            F.lit(pipeline_name).alias("pipeline"),
+            F.col(source_col).alias("source"),
+            F.col(SINK_COL),
+        )
+        .agg(
+            F.sum(F.when(~failed, 1).otherwise(0)).alias("success_count"),
+            F.sum(F.when(failed, 1).otherwise(0)).alias("fail_count"),
+        )
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str = "event_time",
+    watermark: str = "1 minute",
+) -> DataFrame:
+    """Streaming exact dedup within the watermark horizon — state is
+    bounded by the watermark (old keys age out), which is how a
+    continuous ingest dedups without unbounded memory."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)

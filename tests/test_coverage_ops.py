@@ -1,0 +1,129 @@
+"""Coverage tests for the remaining SURVEY §2 surface: normalize
+processors, sink codecs, logAlert, source readers, schema interceptor."""
+
+from __future__ import annotations
+
+import json
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+
+def test_normalize_processors_chain(spark):
+    from loggie_spark.processors import apply_processors
+
+    df = spark.createDataFrame([Row(body='{"level":"ERROR","n":"42"}')])
+    processors = [
+        {"jsonDecode": {"fields": ["level", "n"]}},
+        {"convert": {"convert": [{"from": "n", "to": "int"}]}},
+        {"add": {"fields": {"site": "eu"}}},
+        {"rename": {"rename": [{"from": "level", "to": "severity"}]}},
+        {"drop": {"targets": ["body"]}},
+    ]
+    out = apply_processors(df, processors).finish()
+    r = out.collect()[0]
+    assert r.severity == "ERROR" and r.n == 42 and r.site == "eu"
+    assert "body" not in out.columns and "level" not in out.columns
+
+
+def test_json_codec_beats_format(spark):
+    from loggie_spark.sinks.codecs import json_codec, raw_codec
+
+    df = spark.createDataFrame(
+        [Row(body="hello", source="app", t="2024-03-01 10:00:00")]
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = json_codec(df, time_col="t", beats_format=True, include=["body", "source"])
+    payload = json.loads(out.collect()[0].payload)
+    assert payload["message"] == "hello"
+    assert payload["source"] == "app"
+    assert payload["@timestamp"].startswith("2024-03-01T10:00:00")
+
+    raw = raw_codec(df).collect()[0].payload
+    assert raw == "hello"
+
+
+def test_logalert_matchers(spark):
+    from loggie_spark.operators.logalert import AdvancedRule, LogAlertConfig, alerts
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, body="ERROR disk full on /dev/sda"),
+            Row(id=2, body="WARN latency 950 ms"),
+            Row(id=3, body="INFO all good"),
+            Row(id=4, body="ERROR but ignorable heartbeat"),
+        ]
+    )
+    cfg = LogAlertConfig(
+        contains=["disk full"],
+        advanced=[
+            AdvancedRule(
+                pattern=r"latency (?P<ms>\d+) ms",
+                checks=[("ms", "gt", "900")],
+            )
+        ],
+        ignore=["heartbeat"],
+        additions={"alert_level": "crit"},
+    )
+    got = sorted(r.id for r in alerts(df, cfg).collect())
+    assert got == [1, 2]
+    assert alerts(df, cfg).collect()[0].alert_level == "crit"
+
+
+def test_logalert_no_data(spark):
+    from loggie_spark.operators.logalert import no_data_alerts
+
+    df = spark.createDataFrame(
+        [
+            Row(source="a", t="2024-03-01 10:00:00"),
+            Row(source="a", t="2024-03-01 10:20:00"),
+            Row(source="b", t="2024-03-01 10:00:00"),
+        ]
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    gaps = no_data_alerts(df, "t", window="10 minutes")
+    got = {(r.source, str(r.window.start)) for r in gaps.collect()}
+    # b has no events in the 10:20 window.
+    assert ("b", "2024-03-01 10:20:00") in got
+
+
+def test_readers_and_addon_meta(spark, tmp_path):
+    from loggie_spark.sources import (
+        decode_json_codec,
+        decode_regex_codec,
+        read_table,
+        with_addon_meta,
+    )
+
+    p = str(tmp_path / "t")
+    spark.createDataFrame([Row(body='{"a":"1","b":"x"}', n=1)]).write.parquet(p)
+    df = read_table(spark, p, include=["body"])
+    assert df.columns == ["body"]
+
+    meta = with_addon_meta(read_table(spark, p))
+    r = meta.collect()[0]
+    assert r.filename.endswith(".parquet") and r.hostname
+
+    dec = decode_json_codec(read_table(spark, p), fields=["a", "b"], body_field="b")
+    r = dec.collect()[0]
+    assert r.a == "1" and r.body == "x"
+
+    rx = decode_regex_codec(
+        spark.createDataFrame([Row(body="user=joe id=7")]),
+        pattern=r"user=(?<user>\w+) id=(?<uid>\d+)",
+    )
+    r = rx.collect()[0]
+    assert r.user == "joe" and r.uid == "7"
+
+
+def test_schema_interceptor(spark):
+    from loggie_spark.enrich import apply_schema_interceptor
+
+    df = spark.createDataFrame([Row(source="app", body="x", t="2024-03-01 00:00:00")]).withColumn(
+        "t", F.col("t").cast("timestamp")
+    )
+    out = apply_schema_interceptor(
+        df, "p1", time_col="t", remap={"body": "message"}
+    )
+    r = out.collect()[0]
+    assert r.pipeline == "p1" and r.sourceName == "app"
+    assert r["@timestamp"].startswith("2024-03-01T00:00:00")
+    assert "message" in out.columns and "body" not in out.columns

@@ -1,0 +1,91 @@
+"""Streaming pipeline: same transform over readStream must produce the
+same routed rows/counts as the batch path, via availableNow drain."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from loggie_spark.datagen import generate_sequences
+from loggie_spark.examples import reference_pipeline
+from loggie_spark.pipeline import Pipeline
+from loggie_spark.streaming import stream_metrics, stream_pipeline, streaming_dedup
+
+N = 500
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    seq = generate_sequences(spark, N).withColumn(
+        "_ptime", F.lit("2024-03-01 00:00:00").cast("timestamp")
+    )
+    seq.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    cfg = reference_pipeline(time_col_name="_ptime")
+    q = stream_pipeline(spark, cfg, src, out, ckpt, schema, available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    expected = Pipeline(cfg).transform(seq)
+    assert got.count() == expected.count()
+    g = {(r.sink, r.route_key, r["count"]) for r in got.groupBy("sink", "route_key").count().collect()}
+    e = {
+        (r.sink, r.route_key, r["count"])
+        for r in expected.groupBy("sink", "route_key").count().collect()
+    }
+    assert g == e
+
+    # Restart on the same checkpoint: no new input → no duplicates.
+    q2 = stream_pipeline(spark, cfg, src, out, ckpt, schema, available_now=True)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out).count() == expected.count()
+
+
+def test_stream_metrics_windowed(spark, tmp_path):
+    src = str(tmp_path / "in2")
+    generate_sequences(spark, 200).withColumn(
+        "event_time", F.lit("2024-03-01 00:00:05").cast("timestamp")
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    cfg = reference_pipeline(time_col_name="event_time")
+    routed = Pipeline(cfg).transform(stream)
+    m = stream_metrics(routed, "p1")
+    q = (
+        m.writeStream.format("memory")
+        .queryName("m1")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM m1").collect()
+    assert rows
+    assert {"window", "pipeline", "source", "sink", "success_count", "fail_count"} <= set(
+        rows[0].asDict()
+    )
+
+
+def test_streaming_dedup(spark, tmp_path):
+    src = str(tmp_path / "in3")
+    df = spark.createDataFrame(
+        [("a", "2024-03-01 00:00:01"), ("a", "2024-03-01 00:00:02"), ("b", "2024-03-01 00:00:03")],
+        "k string, t string",
+    ).withColumn("event_time", F.col("t").cast("timestamp"))
+    df.write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    deduped = streaming_dedup(stream, ["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("d1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    ks = sorted(r.k for r in spark.sql("SELECT k FROM d1").collect())
+    assert ks == ["a", "b"]
