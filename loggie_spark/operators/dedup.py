@@ -72,20 +72,41 @@ def dedup_exact(
 # ---------------------------------------------------------------------------
 
 
+MINHASH_MOD = 1 << 40
+
+
 def minhash_signature(
     text: Column, n_hashes: int = 16, shingle: int = 3
 ) -> Column:
     """array<long> of per-seed minima over word-shingle hashes.
 
-    h_i(gram) = md5_60bit(i || '|' || gram); signature[i] = min over
-    grams. Pure Catalyst (transform + array_min) — vectorized JVM, and
-    reproducible in SQL oracles.
+    ONE md5 per gram, split into two 40-bit halves (a, b); the seeded
+    family is Carter-Wegman h_i = (a + i·b) mod 2^40 — an 8-16× md5
+    saving over hashing per seed, still engine-agnostic (the DuckDB
+    oracle reproduces it bit-for-bit). signature[i] = min over grams.
+    Pure Catalyst (transform + array_min), vectorized JVM.
     """
     grams = word_ngrams(tokenize(text), shingle)
-    sigs = [
-        F.array_min(F.transform(grams, lambda g, i=i: md5_60bit(g, seed=i)))
-        for i in range(n_hashes)
-    ]
+    # One identical (a,b)-pairs subtree referenced by every seed —
+    # whole-stage codegen's subexpression elimination evaluates it once.
+    pairs = F.transform(
+        grams,
+        lambda g: F.struct(
+            F.conv(F.substring(F.md5(g.cast("string")), 1, 10), 16, 10)
+            .cast("long")
+            .alias("a"),
+            F.conv(F.substring(F.md5(g.cast("string")), 11, 10), 16, 10)
+            .cast("long")
+            .alias("b"),
+        ),
+    )
+    def seed_hash(i: int):
+        # Closure (NOT a defaulted 2nd lambda param: F.transform passes
+        # the ELEMENT INDEX to any second parameter, silently replacing
+        # the intended seed).
+        return lambda p: F.pmod(p["a"] + F.lit(i) * p["b"], F.lit(MINHASH_MOD))
+
+    sigs = [F.array_min(F.transform(pairs, seed_hash(i))) for i in range(n_hashes)]
     return F.array(*sigs)
 
 

@@ -535,8 +535,13 @@ def td_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_oracle(n_hashes=8, shingle=3, bands=4, threshold=0.12) -> str:
     rows = n_hashes // bands
     gram = "array_to_string(words[i:i+{}], ' ')".format(shingle - 1)
+    # Carter-Wegman family from one md5 per gram (dedup.minhash_signature)
+    mod = 1 << 40
     sig_cols = ", ".join(
-        f"list_min([{md5_60bit_sql('g', seed=i)} for g in grams]) AS s{i}"
+        "list_min([("
+        "CAST('0x' || substring(md5(g), 1, 10) AS BIGINT) + "
+        f"{i} * CAST('0x' || substring(md5(g), 11, 10) AS BIGINT)"
+        f") % {mod} for g in grams]) AS s{i}"
         for i in range(n_hashes)
     )
     band_cols = ", ".join(
