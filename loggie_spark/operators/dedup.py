@@ -47,6 +47,14 @@ def word_ngrams(words: Column, n: int) -> Column:
     ).otherwise(F.array(F.array_join(words, " ")))
 
 
+def _materialize(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
+    """Evaluate ``cols`` exactly once per row behind an inline()
+    Generate barrier (Catalyst re-inlines expensive expressions into
+    every reference otherwise — signatures/fingerprints would be
+    recomputed per band and per join side)."""
+    return df.select("*", F.inline(F.array(F.struct(*[v.alias(k) for k, v in cols.items()]))))
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -86,10 +94,19 @@ def minhash_signature(
     oracle reproduces it bit-for-bit). signature[i] = min over grams.
     Pure Catalyst (transform + array_min), vectorized JVM.
     """
+    pairs = minhash_pair_terms(text, shingle)
+    sigs = [F.array_min(F.transform(pairs, _seed_hash(i))) for i in range(n_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_pair_terms(text: Column, shingle: int = 3) -> Column:
+    """Per-shingle (a, b) hash halves: ONE md5 per gram split into two
+    40-bit integers; the whole seed family derives as
+    h_i = (a + i·b) mod 2^40. Materialize THIS once (higher-order
+    functions are outside codegen subexpression elimination, so a
+    shared subtree still re-runs the md5 pass per seed)."""
     grams = word_ngrams(tokenize(text), shingle)
-    # One identical (a,b)-pairs subtree referenced by every seed —
-    # whole-stage codegen's subexpression elimination evaluates it once.
-    pairs = F.transform(
+    return F.transform(
         grams,
         lambda g: F.struct(
             F.conv(F.substring(F.md5(g.cast("string")), 1, 10), 16, 10)
@@ -100,14 +117,13 @@ def minhash_signature(
             .alias("b"),
         ),
     )
-    def seed_hash(i: int):
-        # Closure (NOT a defaulted 2nd lambda param: F.transform passes
-        # the ELEMENT INDEX to any second parameter, silently replacing
-        # the intended seed).
-        return lambda p: F.pmod(p["a"] + F.lit(i) * p["b"], F.lit(MINHASH_MOD))
 
-    sigs = [F.array_min(F.transform(pairs, seed_hash(i))) for i in range(n_hashes)]
-    return F.array(*sigs)
+
+def _seed_hash(i: int):
+    # Closure (NOT a defaulted 2nd lambda param: F.transform passes the
+    # ELEMENT INDEX to any second parameter, silently replacing the
+    # intended seed).
+    return lambda p: F.pmod(p["a"] + F.lit(i) * p["b"], F.lit(MINHASH_MOD))
 
 
 def minhash_lsh_pairs(
@@ -130,11 +146,22 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     words = tokenize(F.col(text_col))
     grams = F.array_distinct(word_ngrams(words, shingle))
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        grams.alias("_grams"),
-        minhash_signature(F.col(text_col), n_hashes, shingle).alias("_sig"),
+    # (a,b) terms + gram sets computed ONCE per row (barrier); the md5
+    # pass never re-runs per seed, per band, or per join side.
+    terms = _materialize(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        {
+            "_grams": grams,
+            "_terms": minhash_pair_terms(F.col(text_col), shingle),
+        },
+    ).select("_id", "_grams", "_terms")
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_terms"), _seed_hash(i)))
+            for i in range(n_hashes)
+        ]
     )
+    base = _materialize(terms, {"_sig": sig}).select("_id", "_grams", "_sig")
 
     band_entries = F.array(
         *[
@@ -151,8 +178,11 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    banded = base.withColumn("_b", F.explode(band_entries)).select(
-        "_id", "_grams", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    # Banding carries only (id, band, bucket) — gram arrays never ride
+    # the candidate shuffle; they are fetched back by id for the
+    # verified candidates only (tiny at any scale).
+    banded = base.select("_id", F.explode(band_entries).alias("_b")).select(
+        "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     )
 
     left = banded.alias("l")
@@ -164,13 +194,14 @@ def minhash_lsh_pairs(
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l._id") < F.col("r._id")),
         )
-        .select(
-            F.col("l._id").alias("id_a"),
-            F.col("r._id").alias("id_b"),
-            F.col("l._grams").alias("ga"),
-            F.col("r._grams").alias("gb"),
-        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+
+    grams_tbl = base.select("_id", "_grams")
+    cand = (
+        cand.join(grams_tbl.withColumnRenamed("_id", "id_a").withColumnRenamed("_grams", "ga"), "id_a")
+        .join(grams_tbl.withColumnRenamed("_id", "id_b").withColumnRenamed("_grams", "gb"), "id_b")
     )
 
     inter = F.size(F.array_intersect("ga", "gb"))
@@ -232,7 +263,12 @@ def simhash_pairs(
     15-bit slices (a pair within hamming ≤ bands-1 must share ≥1 exact
     band), bucket-join, verify hamming distance."""
     bits_per_band = SIMHASH_BITS // bands
-    fp = df.select(F.col(id_col).alias("_id"), simhash(F.col(text_col)).alias("_fp"))
+    # Barrier: the 60-wide bit-vote fold must evaluate once per row,
+    # not once per band entry per join side.
+    fp = _materialize(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        {"_fp": simhash(F.col(text_col))},
+    ).select("_id", "_fp")
 
     band_entries = F.array(
         *[
