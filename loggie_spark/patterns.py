@@ -245,6 +245,49 @@ def compile_pattern(
     return F.concat(*parts)
 
 
+def extract_pattern(
+    value: Column | str, pattern: str
+) -> dict[str, Column]:
+    """Inverse rendering (pattern.go:219-283 GetSplits/Extract): parse
+    field values back out of a composed string. Used by addK8sMeta to
+    pull e.g. a pod uid out of a log path shaped like
+    ``/var/log/pods/${namespace}_${podname}_${poduid}/...``.
+
+    Compiles to ONE regexp pass (same replace+split trick as the regex
+    action — the literal segments become the regex skeleton, each
+    ``${field}`` a lazy capture).
+    """
+    col = F.col(value) if isinstance(value, str) else value
+    fields: list[str] = []
+    regex_parts: list[str] = ["^"]
+    pos = 0
+    for m in _PATTERN_TOKEN.finditer(pattern):
+        if m.start() > pos:
+            regex_parts.append(re.escape(pattern[pos : m.start()]))
+        token = m.group(1)
+        if token.startswith(("+", "_env.")):
+            regex_parts.append(r".*?")
+        else:
+            fields.append(token)
+            regex_parts.append(r"(.*?)")
+        pos = m.end()
+    if pos < len(pattern):
+        regex_parts.append(re.escape(pattern[pos:]))
+    regex_parts.append("$")
+    rx = "".join(regex_parts)
+
+    sep = "\x01\x00\x02"
+    mark = "\x02\x06\x03"
+    # Leading marker: without it a non-matching single-field pattern
+    # would look matched (1-element split == 1 field).
+    repl = mark + sep + sep.join(f"${i}" for i in range(1, len(fields) + 1))
+    parts = F.split(F.regexp_replace(col, rx, repl), sep)
+    ok = (F.size(parts) == len(fields) + 1) & (F.get(parts, 0) == mark)
+    return {
+        f: F.when(ok, F.get(parts, i + 1)) for i, f in enumerate(fields)
+    }
+
+
 def pattern_fields(pattern: str) -> list[str]:
     """Header fields referenced by a pattern (used for strict-mode
     null checks and the kafka ifRenderTopicFailed policy)."""

@@ -828,3 +828,109 @@ def td_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint_md5(F.col("text")).alias("fp_md5"),
         fingerprint_rolling(F.col("text")).alias("fp_rolling"),
     )
+
+
+# -- addK8sMeta: pattern-extract keys from a path + broadcast lookup -------
+
+
+@register(
+    "pl_k8s_extract_enrich",
+    oracle="""
+    WITH paths AS (
+      SELECT doc_id,
+             '/var/log/pods/ns' || CAST(doc_id % 4 AS VARCHAR) || '_pod-' ||
+             source || '_' || CAST(doc_id AS VARCHAR) || '/app.log' AS path,
+             source
+      FROM documents
+    ), extracted AS (
+      SELECT doc_id, source,
+             regexp_extract(path, '^/var/log/pods/(.*?)_(.*?)_(.*?)/app\\.log$', 1) AS namespace,
+             regexp_extract(path, '^/var/log/pods/(.*?)_(.*?)_(.*?)/app\\.log$', 2) AS podname
+      FROM paths
+    )
+    SELECT namespace, count(*) AS cnt, count(DISTINCT podname) AS pods
+    FROM extracted GROUP BY namespace
+    """,
+)
+def pl_k8s_extract_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """addK8sMeta semantics (addk8smeta/interceptor.go:88-121): pull
+    indexer parts out of a pattern-shaped path (pattern.go Extract),
+    then aggregate per workload."""
+    from loggie_spark.patterns import extract_pattern
+
+    docs = _t(spark, sf_dir, "documents")
+    path = F.concat(
+        F.lit("/var/log/pods/ns"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit("_pod-"),
+        F.col("source"),
+        F.lit("_"),
+        F.col("doc_id").cast("string"),
+        F.lit("/app.log"),
+    )
+    df = docs.withColumn("path", path)
+    cols = extract_pattern(
+        F.col("path"), "/var/log/pods/${namespace}_${podname}_${poduid}/app.log"
+    )
+    df = df.withColumn("namespace", cols["namespace"]).withColumn(
+        "podname", cols["podname"]
+    )
+    return df.groupBy("namespace").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.countDistinct("podname").alias("pods"),
+    )
+
+
+# -- schema interceptor (schema/interceptor.go:79-96) ----------------------
+
+
+@register(
+    "pl_schema_interceptor",
+    oracle="""
+    SELECT doc_id,
+           'p1' AS pipeline,
+           source AS sourceName,
+           strftime(TIMESTAMP '2024-03-01 00:00:00', '%Y-%m-%dT%H:%M:%S.000Z') AS ts,
+           text AS message
+    FROM documents
+    """,
+)
+def pl_schema_interceptor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.enrich import apply_schema_interceptor
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_t", F.lit("2024-03-01 00:00:00").cast("timestamp")
+    )
+    out = apply_schema_interceptor(
+        docs, "p1", ts_key="ts", time_col="_t", remap={"text": "message"}
+    )
+    return out.select("doc_id", "pipeline", "sourceName", "ts", "message")
+
+
+# -- normalize processor dialect end-to-end (normalize/interceptor.go) -----
+
+
+@register(
+    "pl_normalize_chain",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           'eu' AS site
+    FROM events
+    """,
+)
+def pl_normalize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from loggie_spark.processors import apply_processors
+
+    events = _t(spark, sf_dir, "events").withColumnRenamed("props", "body")
+    out = apply_processors(
+        events,
+        [
+            {"jsonDecode": {"fields": ["k"]}},
+            {"copy": {"copy": [{"from": "k", "to": "k_num"}]}},
+            {"convert": {"convert": [{"from": "k_num", "to": "int"}]}},
+            {"add": {"fields": {"site": "eu"}}},
+        ],
+    ).finish()
+    return out.select("event_id", "k", "k_num", "site")

@@ -127,3 +127,47 @@ def test_schema_interceptor(spark):
     assert r.pipeline == "p1" and r.sourceName == "app"
     assert r["@timestamp"].startswith("2024-03-01T00:00:00")
     assert "message" in out.columns and "body" not in out.columns
+
+
+def test_extract_pattern_inverse(spark):
+    from loggie_spark.patterns import compile_pattern, extract_pattern
+
+    df = spark.createDataFrame(
+        [Row(ns="default", pod="api-1", uid="abc123"), Row(ns="kube", pod="db-0", uid="xyz")]
+    )
+    pat = "/var/log/pods/${ns}_${pod}_${uid}/app.log"
+    rendered = df.withColumn("path", compile_pattern(pat))
+    cols = extract_pattern(F.col("path"), pat)
+    back = rendered.select(
+        "ns", "pod", "uid",
+        cols["ns"].alias("ns2"), cols["pod"].alias("pod2"), cols["uid"].alias("uid2"),
+    ).collect()
+    for r in back:
+        assert (r.ns, r.pod, r.uid) == (r.ns2, r.pod2, r.uid2)
+
+    # non-matching strings extract nothing (marker guards single-field too)
+    bad = spark.createDataFrame([Row(path="/not/a/pod/path")])
+    one = extract_pattern(F.col("path"), "/var/log/${only}/app.log")
+    assert bad.select(one["only"].alias("v")).collect()[0].v is None
+
+
+def test_aggregator_windowed(spark):
+    from loggie_spark.operators.aggregator import aggregate
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-03-01 10:00:05", 1.0),
+            ("a", "2024-03-01 10:00:07", 3.0),
+            ("a", "2024-03-01 10:01:05", 5.0),
+        ],
+        "k string, t string, v double",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+    out = aggregate(
+        df,
+        group_by=["k"],
+        select=[("COUNT", "v", "cnt"), ("SUM", "v", "total")],
+        window=("t", "1 minute"),
+        round_to=2,
+    ).collect()
+    got = {str(r.window.start): (r.cnt, r.total) for r in out}
+    assert got == {"2024-03-01 10:00:00": (2, 4.0), "2024-03-01 10:01:00": (1, 5.0)}
