@@ -27,18 +27,24 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Observation
+
 from loggie_spark.actions import DROPPED, RETURNED, _apply_steps, _Ctx
-from loggie_spark.checkpoint import BUCKET_COL, Manifest, incomplete_only, with_bucket
+from loggie_spark.checkpoint import BUCKET_COL, Manifest, with_bucket
 from loggie_spark.enrich import add_static_fields, broadcast_enrich
-from loggie_spark.functions.tokens import decode_tokens_utf8
-from loggie_spark.sinks.metrics import sink_metrics
 from loggie_spark.sinks.router import (
     FAILED_COL,
+    PKEY_COL,
     ROUTE_COL,
     SINK_COL,
     SinkSpec,
     explode_to_sinks,
 )
+
+# Above this many pending buckets the per-bucket rows_in observation is
+# skipped (the count_if fan-out would cost O(B) comparisons per row);
+# lineage keeps exact per-bucket rows_out + run-level rows_in instead.
+OBS_BUCKET_CAP = 1024
 
 
 @dataclass
@@ -148,32 +154,59 @@ class Pipeline:
     ) -> DataFrame:
         """Execute resumably; returns the exact per-sink metrics frame.
 
+        SINGLE-SCAN: the input is read exactly once — by the routed
+        write job. Everything else is accounting on small frames:
+
+        * pending buckets are driver-known (all buckets minus the
+          manifest's done set) — no pre-count scan;
+        * ``rows_in`` (total + per-bucket up to OBS_BUCKET_CAP) rides
+          the write job via ``df.observe`` on the input side;
+        * per-bucket rows_out and per-(source, sink) metric deltas come
+          from ONE column-pruned aggregation over the buckets this run
+          just wrote (partition-pruned; reads two thin columns of the
+          run's own output, never the input and never prior output);
+        * final metrics are a rollup of the manifest's delta table —
+          the output table is never re-read for accounting.
+
         Crash-safe: buckets are re-written with dynamic partition
         overwrite, so partially-written buckets heal on resume and
-        per-sink counts stay exactly-once (FIXTURES §F4 invariant).
+        per-sink counts stay exactly-once (FIXTURES §F4 invariant;
+        see checkpoint.Manifest for the stale-delta proof).
         """
         cfg = self.cfg
         manifest = Manifest(manifest_dir or f"{out_dir}/_manifest")
 
+        done = set(manifest.completed_buckets(spark, run_id))
+        todo_buckets = sorted(b for b in range(cfg.n_buckets) if b not in done)
+        if not todo_buckets:
+            return manifest.final_metrics(spark)
+
         bucketed = with_bucket(df, cfg.n_buckets, key=key)
-        todo = incomplete_only(bucketed, spark, manifest, run_id)
+        if done:
+            bucketed = bucketed.filter(~F.col(BUCKET_COL).isin(sorted(done)))
 
-        in_counts = todo.groupBy(F.col(BUCKET_COL).alias("bucket")).agg(
-            F.count(F.lit(1)).alias("rows_in")
-        ).collect()
-        if not in_counts:
-            # Nothing to do (empty input or fully-resumed run).
-            return self._final_metrics(spark, out_dir)
+        obs = Observation()
+        per_bucket_in = len(todo_buckets) <= OBS_BUCKET_CAP
+        in_exprs = [F.count(F.lit(1)).alias("rows_in")]
+        if per_bucket_in:
+            in_exprs += [
+                F.count_if(F.col(BUCKET_COL) == F.lit(b)).alias(f"b{b}")
+                for b in todo_buckets
+            ]
+        observed = bucketed.observe(obs, *in_exprs)
 
-        routed = self.transform(todo)
+        routed = self.transform(observed)
 
         # Salted repartition: heavy-hitter (sink, route) pairs spread
-        # over `salt` writer tasks each; AQE coalesces small ones.
+        # over `salt` writer tasks each; AQE coalesces small ones. A
+        # sink's rendered partition_key (kafka partitionKey analog)
+        # overrides the salt hash so equal keys co-locate in one file.
+        part_hash = F.pmod(
+            F.xxhash64(F.coalesce(F.col(PKEY_COL), F.col(key).cast("string"))),
+            F.lit(cfg.salt),
+        )
         routed = routed.repartition(
-            F.col(BUCKET_COL),
-            F.col(SINK_COL),
-            F.col(ROUTE_COL),
-            F.pmod(F.xxhash64(F.col(key)), F.lit(cfg.salt)),
+            F.col(BUCKET_COL), F.col(SINK_COL), F.col(ROUTE_COL), part_hash
         )
 
         (
@@ -183,44 +216,56 @@ class Pipeline:
             .parquet(out_dir)
         )
 
-        # Lineage counters — computed per bucket from input & output.
-        rows_in = spark.createDataFrame(in_counts, "bucket int, rows_in long")
-        written = spark.read.parquet(out_dir).filter(
-            F.col(BUCKET_COL).isin([r.bucket for r in in_counts])
+        in_vals = obs.get  # filled by the write job — no extra action
+        rows_in_by_bucket = (
+            {b: int(in_vals[f"b{b}"]) for b in todo_buckets} if per_bucket_in else {}
         )
-        rows_out = written.groupBy(F.col(BUCKET_COL).alias("bucket")).agg(
-            F.count(F.lit(1)).alias("rows_out")
-        )
-        stats = (
-            rows_in.join(rows_out, "bucket", "left")
-            .select(
-                F.lit(run_id).alias("run_id"),
-                F.col("bucket").cast("int"),
-                F.lit(cfg.name).alias("source"),
-                F.col("rows_in"),
-                F.coalesce(F.col("rows_out"), F.lit(0)).alias("rows_out"),
-                F.lit("done").alias("status"),
-            )
-        )
-        manifest.record_done(stats)
-        return self._final_metrics(spark, out_dir)
 
-    def _final_metrics(self, spark: SparkSession, out_dir: str) -> DataFrame:
-        """Exact per-(pipeline, source, sink) counts from the FINAL
-        routed table — idempotent across resume; empty frame when
-        nothing has ever been written."""
-        import os
-
-        cfg = self.cfg
-        has_data = os.path.isdir(out_dir) and any(
-            name.startswith(SINK_COL + "=") or name.startswith(BUCKET_COL + "=")
-            for name in os.listdir(out_dir)
-        )
-        if not has_data:
-            return spark.createDataFrame(
-                [],
-                "pipeline string, source string, sink string, "
-                "success_count long, fail_count long",
+        # ONE pruned aggregation over this run's freshly-written buckets:
+        # partition-pruned to todo_buckets, reads only (source, failed).
+        # Result size is bounded by buckets × sources × sinks — driver-safe.
+        agg_rows = []
+        if _has_bucket_dirs(out_dir):
+            written = spark.read.parquet(out_dir).filter(
+                F.col(BUCKET_COL).isin(todo_buckets)
             )
-        final = spark.read.parquet(out_dir)
-        return sink_metrics(final, cfg.name, source_col=cfg.source_col)
+            agg_rows = (
+                written.groupBy(BUCKET_COL, cfg.source_col, SINK_COL)
+                .agg(
+                    F.count_if(~F.col(FAILED_COL)).alias("ok"),
+                    F.count_if(F.col(FAILED_COL)).alias("bad"),
+                )
+                .collect()
+            )
+
+        seq = manifest.next_seq(spark)
+        rows_out_by_bucket: dict[int, int] = {}
+        metrics_rows: list[tuple] = []
+        for r in agg_rows:
+            b = r[BUCKET_COL]
+            rows_out_by_bucket[b] = rows_out_by_bucket.get(b, 0) + r.ok + r.bad
+            metrics_rows.append(
+                (run_id, seq, b, cfg.name, r[cfg.source_col], r[SINK_COL], r.ok, r.bad)
+            )
+        lineage_rows = [
+            (
+                run_id,
+                seq,
+                b,
+                cfg.name,
+                rows_in_by_bucket.get(b) if per_bucket_in else None,
+                rows_out_by_bucket.get(b, 0),
+                "done",
+            )
+            for b in todo_buckets
+        ]
+        manifest.record_run(spark, lineage_rows, metrics_rows)
+        return manifest.final_metrics(spark)
+
+
+def _has_bucket_dirs(out_dir: str) -> bool:
+    import os
+
+    return os.path.isdir(out_dir) and any(
+        name.startswith(BUCKET_COL + "=") for name in os.listdir(out_dir)
+    )

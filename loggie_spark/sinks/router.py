@@ -29,6 +29,7 @@ from loggie_spark.patterns import compile_pattern, pattern_is_strict_ok
 SINK_COL = "sink"
 ROUTE_COL = "route_key"
 FAILED_COL = "_route_failed"
+PKEY_COL = "_pkey"
 
 
 @dataclass
@@ -83,32 +84,46 @@ def explode_to_sinks(
     """Fan one row out to every sink whose selector matches, in ONE
     narrow pass (array-of-structs + explode; no shuffle, no N jobs).
 
-    Adds ``sink``, ``route_key``, ``_route_failed``. Rows matching no
-    sink disappear (reference: an event always has exactly one sink per
-    pipeline; multi-sink here generalizes the Selector interface).
+    Adds ``sink``, ``route_key``, ``_route_failed`` and ``_pkey`` (the
+    sink's rendered ``partition_key``, null when unset — the kafka
+    partitionKey analog used to co-locate equal keys in one writer
+    task, sink.go:197-199). Rows matching no sink disappear (reference:
+    an event always has exactly one sink per pipeline; multi-sink here
+    generalizes the Selector interface).
+
+    ``on_render_fail='drop'`` silently omits the event from that sink —
+    the entry never enters the array, matching the reference's
+    DropEvent (kafka/sink.go:139-141: no failure accounting, no output).
     """
     entries = []
     for s in sinks:
         route = compile_pattern(s.route_pattern, time_col=time_col)
         ok = pattern_is_strict_ok(s.route_pattern)
+        emit = s.selector_col()
         if s.on_render_fail == "default":
             route = F.when(ok, route).otherwise(F.lit(s.default_route))
             failed = F.lit(False)
         elif s.on_render_fail == "drop":
-            failed = ~ok
-            route = F.when(ok, route).otherwise(F.lit(""))
+            emit = emit & F.coalesce(ok, F.lit(False))
+            failed = F.lit(False)
         elif s.on_render_fail == "ignore":
             failed = F.lit(False)
             route = F.when(ok, route).otherwise(F.lit(""))
-        else:
+        else:  # 'fail' — quarantined + counted by the metrics contract
             failed = ~ok
             route = F.when(ok, route).otherwise(F.lit(""))
+        pkey = (
+            compile_pattern(s.partition_key, time_col=time_col).cast("string")
+            if s.partition_key
+            else F.lit(None).cast("string")
+        )
         entry = F.when(
-            s.selector_col(),
+            emit,
             F.struct(
                 F.lit(s.name).alias(SINK_COL),
                 route.alias(ROUTE_COL),
                 failed.alias(FAILED_COL),
+                pkey.alias(PKEY_COL),
             ),
         )
         entries.append(entry)
@@ -119,6 +134,7 @@ def explode_to_sinks(
         routed.withColumn(SINK_COL, F.col("_s")[SINK_COL])
         .withColumn(ROUTE_COL, F.col("_s")[ROUTE_COL])
         .withColumn(FAILED_COL, F.col("_s")[FAILED_COL])
+        .withColumn(PKEY_COL, F.col("_s")[PKEY_COL])
         .drop("_s")
     )
 

@@ -122,14 +122,29 @@ def test_resume_exactly_once(spark, run_dirs):
         .collect()
     )
 
-    # Crash simulation: manifest loses half its buckets.
-    manifest = spark.read.parquet(manifest_dir)
+    # Crash simulation: the lineage table loses half its buckets (their
+    # output remains), while the METRICS delta table keeps its now-stale
+    # rows — the rollup must ignore deltas whose (bucket, seq) no longer
+    # wins in lineage, or resumed buckets double-count.
+    from loggie_spark.checkpoint import LINEAGE_SCHEMA
+
+    lineage_dir = f"{manifest_dir}/lineage"
+    manifest = spark.read.parquet(lineage_dir)
     kept = manifest.filter(F.col("bucket") % 2 == 0)
     kept_pd = kept.toPandas()
-    shutil.rmtree(manifest_dir)
-    spark.createDataFrame(kept_pd).write.mode("overwrite").parquet(manifest_dir)
+    shutil.rmtree(lineage_dir)
+    spark.createDataFrame(kept_pd, LINEAGE_SCHEMA).write.mode("overwrite").parquet(
+        lineage_dir
+    )
 
     _, metrics2 = _run(spark, out_dir, manifest_dir)
+
+    # Exactly-once metrics across the resume: per-sink counts unchanged.
+    _, survivors = python_oracle(N)
+    m2 = {(r.source, r.sink): (r.success_count, r.fail_count) for r in metrics2.collect()}
+    for src, cnt in survivors.items():
+        for sink in ("kafka", "es", "file"):
+            assert m2[(src, sink)] == (cnt, 0), (src, sink, m2[(src, sink)])
 
     final_after = spark.read.parquet(out_dir)
     assert final_after.count() == count_before  # no dupes, no loss
@@ -161,6 +176,8 @@ def test_render_fail_policies(spark, tmp_path):
     got = {r.doc_id: r.route_key for r in out_default.collect()}
     assert got == {"a": "t1", "b": "dflt"}
 
+    # drop = the event silently skips that sink: no row, no fail count
+    # (kafka/sink.go:139-141 DropEvent semantics).
     out_drop = explode_to_sinks(df, [SinkSpec("k", "${topic}", on_render_fail="drop")])
     rows = out_drop.collect()
-    assert {r.doc_id: r._route_failed for r in rows} == {"a": False, "b": True}
+    assert {r.doc_id: r._route_failed for r in rows} == {"a": False}
