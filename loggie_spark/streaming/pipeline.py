@@ -34,17 +34,37 @@ def stream_pipeline(
     input_path: str,
     output_path: str,
     checkpoint_path: str,
-    schema: StructType | str,
+    schema: StructType | str | None = None,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    kafka_source=None,
 ) -> StreamingQuery:
     """Continuous parse → enrich → route into a partitioned parquet
     sink. ``available_now=True`` drains the backlog and stops (used in
-    tests and backfills); otherwise the query runs until stopped."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_path)
+    tests and backfills); otherwise the query runs until stopped.
+
+    Sources: a parquet directory (``input_path`` + ``schema``), or —
+    when ``kafka_source`` is a :class:`~loggie_spark.sources.kafka.
+    KafkaSourceConfig` — a kafka subscription whose records are decoded
+    to the event shape (body + addonMeta) before the same transform.
+    """
+    if kafka_source is not None:
+        from loggie_spark.sources.kafka import decode_kafka_records, read_kafka
+
+        raw = read_kafka(
+            spark,
+            kafka_source,
+            streaming=True,
+            max_offsets_per_trigger=max_files_per_trigger,
+        )
+        stream = decode_kafka_records(raw, addon_meta=kafka_source.addon_meta)
+    else:
+        if schema is None:
+            raise ValueError("file source needs an explicit schema")
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.parquet(input_path)
 
     routed = Pipeline(cfg).transform(stream)
 
