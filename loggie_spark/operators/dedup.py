@@ -55,6 +55,44 @@ def _materialize(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     return df.select("*", F.inline(F.array(F.struct(*[v.alias(k) for k, v in cols.items()]))))
 
 
+def _cap_buckets(
+    banded: DataFrame,
+    key_cols: list[str],
+    cap: int | None,
+    id_col: str = "_id",
+) -> tuple[DataFrame, list[str]]:
+    """Count-then-salt skew guard for LSH band self-joins.
+
+    A degenerate bucket (boilerplate docs sharing one band hash) makes
+    the self-join O(n²) at web scale. With ``cap``, buckets larger than
+    ``cap`` rows are salted into ⌈n/cap⌉ sub-buckets by a stable id
+    hash, bounding every bucket's pair count to ~cap² — candidate
+    volume becomes O(rows × cap) worst-case instead of O(hottest²).
+
+    Trade-off (documented, intentional): a pair inside an oversized
+    bucket is found only if both sides salt together (~cap/n chance per
+    band; other bands still catch it). Oversized buckets are exactly
+    the boilerplate clusters a training-data dedup drops wholesale, so
+    losing intra-cluster pair enumeration is the right default at
+    scale. ``cap=None`` disables the guard (exact oracle parity mode).
+
+    Returns (frame with ``_sub`` appended when capping, join key list).
+    """
+    if cap is None:
+        return banded, key_cols
+    counts = banded.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_n"))
+    out = banded.join(counts, key_cols)  # same-key shuffle, AQE-coalesced
+    sub = (
+        F.when(
+            F.col("_n") > cap,
+            F.pmod(F.xxhash64(F.col(id_col)), F.ceil(F.col("_n") / cap).cast("long")),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    return out.withColumn("_sub", sub).drop("_n"), key_cols + ["_sub"]
+
+
 # ---------------------------------------------------------------------------
 # exact
 # ---------------------------------------------------------------------------
@@ -134,6 +172,7 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     bands: int = 4,
     jaccard_threshold: float = 0.6,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via banded minhash buckets, verified with exact
     shingle-set Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -142,6 +181,9 @@ def minhash_lsh_pairs(
     two docs are candidates iff any band matches exactly. The join key
     is (band_index, band_values) — a self-equi-join Spark executes as a
     shuffled hash join on a small key; no cross product ever forms.
+
+    ``bucket_cap`` bounds degenerate buckets (see :func:`_cap_buckets`)
+    — set it (e.g. 1000) for web-scale corpora with boilerplate.
     """
     rows_per_band = n_hashes // bands
     words = tokenize(F.col(text_col))
@@ -184,16 +226,16 @@ def minhash_lsh_pairs(
     banded = base.select("_id", F.explode(band_entries).alias("_b")).select(
         "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     )
+    banded, keys = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
 
     left = banded.alias("l")
     right = banded.alias("r")
+    key_eq = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    cond = key_eq[0]
+    for c in key_eq[1:]:
+        cond = cond & c
     cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+        left.join(right, cond & (F.col("l._id") < F.col("r._id")))
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -258,10 +300,12 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: band the 60-bit fingerprint into ``bands``
     15-bit slices (a pair within hamming ≤ bands-1 must share ≥1 exact
-    band), bucket-join, verify hamming distance."""
+    band), bucket-join, verify hamming distance. ``bucket_cap`` bounds
+    degenerate buckets (:func:`_cap_buckets`)."""
     bits_per_band = SIMHASH_BITS // bands
     # Barrier: the 60-wide bit-vote fold must evaluate once per row,
     # not once per band entry per join side.
@@ -284,14 +328,13 @@ def simhash_pairs(
     banded = fp.withColumn("_b", F.explode(band_entries)).select(
         "_id", "_fp", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     )
+    banded, keys = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
     l, r = banded.alias("l"), banded.alias("r")
+    cond = F.col("l._id") < F.col("r._id")
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
     cand = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l._id") < F.col("r._id")),
-        )
+        l.join(r, cond)
         .select(
             F.col("l._id").alias("id_a"),
             F.col("r._id").alias("id_b"),
@@ -319,19 +362,23 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     block_words: int = 4,
     threshold: float = 0.5,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Exact word-set Jaccard over candidate pairs sharing their first
-    ``block_words`` words (cheap deterministic blocking)."""
+    ``block_words`` words (cheap deterministic blocking). ``bucket_cap``
+    bounds degenerate blocks (:func:`_cap_buckets`)."""
     words = tokenize(F.col(text_col))
     base = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(words).alias("_set"),
         F.array_join(F.slice(words, 1, block_words), " ").alias("_block"),
     )
+    base, keys = _cap_buckets(base, ["_block"], bucket_cap)
     l, r = base.alias("l"), base.alias("r")
-    cand = l.join(
-        r, (F.col("l._block") == F.col("r._block")) & (F.col("l._id") < F.col("r._id"))
-    )
+    cond = F.col("l._id") < F.col("r._id")
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    cand = l.join(r, cond)
     inter = F.size(F.array_intersect("l._set", "r._set"))
     union = F.size(F.array_union("l._set", "r._set"))
     jac = F.round(inter.cast("double") / union.cast("double"), 4)
@@ -356,19 +403,93 @@ def embedding_cosine_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     sample_max_id: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
-    """Cosine near-duplicates. ``sample_max_id`` restricts the left
-    side (testing / incremental dedup of a new shard against a corpus);
-    the scale path is LSH bucketing (similarity.lsh_buckets) — this is
-    the exact verifier used inside each bucket."""
+    """Cosine near-duplicates, exact verifier form.
+
+    ``sample_max_id`` bounds the left side — the incremental shape
+    (new shard vs corpus): a broadcast-nested-loop with a small left,
+    like :func:`~loggie_spark.operators.similarity.brute_force_topk`.
+    WITHOUT a bound this would be an all-pairs cross join, so the
+    unbounded self-dedup case delegates to the bucketed
+    :func:`embedding_lsh_pairs` — a corpus never meets itself in a
+    cartesian product."""
     from loggie_spark.functions.vectors import cosine
 
+    if sample_max_id is None:
+        return embedding_lsh_pairs(
+            df, vec_col=vec_col, id_col=id_col, threshold=threshold, dim=dim
+        ).select("id_a", "id_b", "cos")
+
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
-    left = base.filter(F.col("_id") < sample_max_id) if sample_max_id else base
-    pairs = left.alias("l").join(
-        base.alias("r"), F.col("l._id") < F.col("r._id")
+    left = base.filter(F.col("_id") < sample_max_id)
+    pairs = base.alias("r").join(
+        F.broadcast(left.alias("l")), F.col("l._id") < F.col("r._id")
     )
     cos = F.round(cosine(F.col("l._v"), F.col("r._v")), 4)
     return pairs.select(
         F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), cos.alias("cos")
     ).filter(F.col("cos") >= threshold)
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bands: int = 2,
+    planes_per_band: int = 4,
+    dim: int = 64,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Bucketed embedding self-dedup — the 100 TB path.
+
+    Banded sign-random-projection: each vector gets ``bands`` bucket
+    ids (one per independent group of ``planes_per_band`` hyperplanes,
+    similarity.plane_vector's engine-agnostic family); two vectors are
+    candidates iff ANY band bucket matches (same banding logic as
+    minhash LSH — more bands = higher recall at cos≥threshold). The
+    join is a banded EQUI-join carrying only (id, band, bucket); the
+    exact cosine verifier runs on candidates fetched back by id.
+
+    Returns (id_a, id_b, cos, n_bands) with id_a < id_b; ``n_bands``
+    = how many bands matched (a confidence signal).
+    """
+    from loggie_spark.functions.vectors import cosine
+    from loggie_spark.operators.similarity import lsh_bucket
+
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                lsh_bucket(
+                    F.col("_v"), planes_per_band, dim, plane_offset=b * planes_per_band
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = base.select("_id", F.explode(band_entries).alias("_b")).select(
+        "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+    banded, keys = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
+    l, r = banded.alias("l"), banded.alias("r")
+    cond = F.col("l._id") < F.col("r._id")
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    cand = (
+        l.join(r, cond)
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    vecs = base
+    cand = cand.join(
+        vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
+    ).join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b")
+    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
+    return (
+        cand.withColumn("cos", cos)
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos", "n_bands")
+    )

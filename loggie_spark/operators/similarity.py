@@ -64,11 +64,13 @@ def plane_vector(p: int, dim: int) -> list[float]:
     return [_plane_component(p, j) for j in range(dim)]
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
-    """Sign-random-projection bucket id: bit p = (v · plane_p) >= 0."""
+def lsh_bucket(vec: Column, n_planes: int, dim: int, plane_offset: int = 0) -> Column:
+    """Sign-random-projection bucket id: bit p = (v · plane_p) >= 0.
+    ``plane_offset`` selects an independent plane family (used by
+    banded SRP dedup, dedup.embedding_lsh_pairs)."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in plane_vector(p, dim)])
+        plane = F.array(*[F.lit(v) for v in plane_vector(plane_offset + p, dim)])
         bit = F.when(dot(vec, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bucket + bit
     return bucket

@@ -671,6 +671,57 @@ def td_embed_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_lsh_oracle(bands=2, ppb=4, dim=64, threshold=0.4) -> str:
+    from loggie_spark.operators.similarity import plane_vector
+
+    def dot_plane(alias: str, p: int) -> str:
+        vec = plane_vector(p, dim)
+        lits = ", ".join(repr(v) for v in vec)
+        return (
+            f"list_sum([CAST({alias}.embedding[i] AS DOUBLE) * ([{lits}])[i] "
+            f"for i in generate_series(1, {dim})])"
+        )
+
+    def bucket(alias: str, offset: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot_plane(alias, offset + p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(ppb)
+        )
+
+    bcols = ", ".join(
+        f"({bucket('embeddings', b * ppb)}) AS b{b}" for b in range(bands)
+    )
+    any_band = " OR ".join(f"l.b{b} = r.b{b}" for b in range(bands))
+    n_bands = " + ".join(
+        f"(CASE WHEN l.b{b} = r.b{b} THEN 1 ELSE 0 END)" for b in range(bands)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding, {bcols} FROM embeddings)
+    SELECT id_a, id_b, cos, n_bands FROM (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b, {_COS_SQL} AS cos,
+             CAST({n_bands} AS BIGINT) AS n_bands
+      FROM b l JOIN b r ON l.vec_id < r.vec_id AND ({any_band})
+    ) WHERE cos >= {threshold}
+    """
+
+
+@register("td_embed_dup_lsh", oracle=_embed_lsh_oracle())
+def td_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding SELF-dedup (the 100 TB path): banded SRP
+    equi-join, no cartesian anywhere. Threshold 0.4 (not the 0.95
+    production default) because the synthetic corpus has no true
+    near-dups — see td_embed_dup_pairs."""
+    from loggie_spark.operators.dedup import embedding_lsh_pairs
+
+    return embedding_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        bands=2,
+        planes_per_band=4,
+        dim=64,
+    )
+
+
 @register(
     "td_sim_topk_brute",
     oracle=f"""

@@ -76,8 +76,31 @@ def _embeddings(spark):
 def test_embedding_cosine_pairs(spark):
     from loggie_spark.operators.dedup import embedding_cosine_pairs
 
-    pairs = embedding_cosine_pairs(_embeddings(spark), threshold=0.9).collect()
+    # Unbounded self-dedup delegates to the banded-SRP equi-join path;
+    # the plan must never contain a cartesian/nested-loop join.
+    df = embedding_cosine_pairs(_embeddings(spark), threshold=0.9, dim=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    pairs = df.collect()
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+def test_bucket_cap_bounds_degenerate_buckets(spark):
+    """200 identical docs collapse into one band bucket; the cap must
+    keep the self-join from enumerating all C(200,2) pairs."""
+    from loggie_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(200)],
+        "doc_id int, text string",
+    )
+    capped = minhash_lsh_pairs(
+        docs, n_hashes=8, bands=4, jaccard_threshold=0.0, bucket_cap=10
+    )
+    n = capped.count()
+    assert 0 < n < 19900  # full enumeration would be C(200,2) = 19900
+    # every emitted pair is still a true duplicate
+    assert capped.filter(F.col("jaccard") < 1.0).count() == 0
 
 
 def test_brute_force_topk(spark):
