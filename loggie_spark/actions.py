@@ -13,6 +13,10 @@ DataFrame pass. Row-level control flow becomes hidden boolean columns:
 * ``_dropped``  — set by dropEvent(); rows filtered at the end
 * ``_returned`` — set by return(); gates every later action via
   ``F.when`` so short-circuit semantics hold per row
+* ``_errored``  — set when an action fails without ignoreError /
+  dropIfError: the remaining program is skipped for that row and the
+  event is forwarded as-is (Actions.Exec aborts on the first error,
+  actions.go:51-66; Intercept still invokes, transformer.go:85-95)
 
 No per-row Python executes: every action is a Catalyst expression
 (regex/split/cast/concat/...), so the program stays inside whole-stage
@@ -51,6 +55,8 @@ from loggie_spark.patterns import (
 
 DROPPED = "_dropped"
 RETURNED = "_returned"
+ERRORED = "_errored"
+CONTROL_COLS = (DROPPED, RETURNED, ERRORED)
 
 _NAMED_GROUP_ANY = re.compile(r"\(\?P?<([a-zA-Z][a-zA-Z0-9_]*)>")
 
@@ -84,7 +90,16 @@ class _Ctx:
         if self.gate_is_total and not self.program_has_control:
             self.df = self.df.withColumn(name, value)
         else:
-            fallback = old if old is not None else F.lit(None)
+            if old is not None:
+                # Type-changing overwrite (strconv/timestamp): ungated
+                # rows keep the old value coerced with try_cast — the
+                # implicit ANSI Cast the CaseWhen would insert throws on
+                # malformed rows that the gate is excluding on purpose.
+                old_t = self.df.schema[name].dataType
+                new_t = self.df.select(value.alias("_probe")).schema[0].dataType
+                fallback = old if old_t == new_t else old.try_cast(new_t)
+            else:
+                fallback = F.lit(None)
             self.df = self.df.withColumn(name, F.when(self.gate, value).otherwise(fallback))
 
     def del_col(self, name: str) -> None:
@@ -98,12 +113,22 @@ class _Ctx:
             )
 
     def apply_error_policy(self, failed: Column, extra: dict) -> None:
-        """dropIfError drops failing rows; ignoreError (and the default)
-        keeps them with whatever the action produced."""
+        """Per-action error policy (action.go:110-128):
+
+        * ``dropIfError``  — failing rows are dropped (ErrorDropEvent);
+        * ``ignoreError``  — failure swallowed, program continues;
+        * default          — the remaining program is SKIPPED for that
+          row (Actions.Exec returns the error, actions.go:56-63) and
+          the event forwards as-is — ``_errored`` gates later steps.
+        """
+        hit = self.gate & F.coalesce(failed, F.lit(False))
         if extra.get("dropIfError"):
-            self.df = self.df.withColumn(
-                DROPPED, F.col(DROPPED) | (self.gate & F.coalesce(failed, F.lit(False)))
-            )
+            self.df = self.df.withColumn(DROPPED, F.col(DROPPED) | hit)
+        elif not extra.get("ignoreError"):
+            self.df = self.df.withColumn(ERRORED, F.col(ERRORED) | hit)
+            # Errored rows SURVIVE, so later writes must be gated off
+            # them — force the conditional write path from here on.
+            self.program_has_control = True
 
 
 def _materialize(
@@ -238,6 +263,40 @@ def _print(ctx: _Ctx, args: list[str], extra: dict) -> None:
     pass  # debug logging sink — no-op in batch (print.go:51-70)
 
 
+# Batch analogs of the reference's event meta (event.go:33-35 system
+# keys + source-registered addonMeta fields): column name → meta key.
+_META_COLUMN_KEYS: list[tuple[str, str]] = [
+    ("pipeline", "systemPipelineName"),
+    ("source", "systemSourceName"),
+    ("filename", "filename"),
+    ("offset", "offset"),
+    ("hostname", "hostname"),
+    ("kafka", "kafka"),
+]
+
+
+@register_action("addMeta")
+def _add_meta(ctx: _Ctx, args: list[str], extra: dict) -> None:
+    """normalize addMeta, FULL semantics (addmeta.go:66-108): every
+    non-``@private`` meta field lands under the target struct. Batch
+    meta = the system columns this engine materializes (source name,
+    addonMeta filename/offset/hostname, kafka addon struct) plus
+    systemProductTime (the processing time column) and
+    systemPipelineName (from the ``pipelineName`` extra or an existing
+    ``pipeline`` column). Internal control columns are the ``@private``
+    analog and never exported."""
+    target = args[0] if args else extra.get("target", "meta")
+    fields: list[Column] = []
+    for col_name, meta_key in _META_COLUMN_KEYS:
+        if col_name in ctx.df.columns:
+            fields.append(F.col(col_name).alias(meta_key))
+    if "pipelineName" in extra and "pipeline" not in ctx.df.columns:
+        fields.append(F.lit(extra["pipelineName"]).alias("systemPipelineName"))
+    ptime = ctx.time_col if ctx.time_col is not None else F.current_timestamp()
+    fields.append(ptime.alias("systemProductTime"))
+    ctx.set_col(flat_name(target), F.struct(*fields))
+
+
 # --------------------------------------------------------------------------
 # Parsers: regex / grok / split / jsonDecode / jsonEncode
 # --------------------------------------------------------------------------
@@ -276,7 +335,12 @@ def _apply_regex(ctx: _Ctx, key: str, to: str | None, pattern: str, extra: dict)
     repl = _XMARK + _XSEP + _XSEP.join(f"${i}" for i in range(1, n + 1))
 
     parts = F.split(F.regexp_replace(src, wrapped, repl), _XSEP)
-    matched = (F.size(parts) == n + 1) & (F.get(parts, 0) == _XMARK)
+    # coalesce: a NULL body yields NULL size/get (Spark 4 ANSI), but the
+    # reference's GetString("") → no-match → action error semantics
+    # need a definite False here.
+    matched = F.coalesce(
+        (F.size(parts) == n + 1) & (F.get(parts, 0) == _XMARK), F.lit(False)
+    )
 
     # Materialize ONCE behind an inline() Generate barrier. Without it,
     # Catalyst's collapsed projections re-evaluate the regex for every
@@ -319,9 +383,16 @@ def _regex(ctx: _Ctx, args: list[str], extra: dict) -> None:
 @register_action("grok")
 def _grok(ctx: _Ctx, args: list[str], extra: dict) -> None:
     # grok.go:125-148 — expand %{...} macros at plan time, then regex.
-    from loggie_spark.patterns import DEFAULT_GROK_PATTERNS
+    # Macro precedence (grok.go:150-163): defaults < patternPaths files
+    # < inline pattern dict.
+    from loggie_spark.patterns import DEFAULT_GROK_PATTERNS, load_grok_pattern_paths
 
-    pats = {**DEFAULT_GROK_PATTERNS, **(extra.get("patterns") or {})}
+    from_files = (
+        load_grok_pattern_paths(extra["patternPaths"])
+        if extra.get("patternPaths")
+        else {}
+    )
+    pats = {**DEFAULT_GROK_PATTERNS, **from_files, **(extra.get("patterns") or {})}
     pattern = expand_grok(extra["match"], patterns=pats)
     to = args[1] if len(args) > 1 else None
     merged_extra = {"ignoreBlank": extra.get("ignoreBlank", True), **extra}
@@ -462,16 +533,39 @@ def _strconv(ctx: _Ctx, args: list[str], extra: dict) -> None:
 
 @register_action("toStr")
 def _to_str(ctx: _Ctx, args: list[str], extra: dict) -> None:
-    ctx.set_col(flat_name(args[0]), col_for_path(args[0]).cast("string"))
+    """tostr.go:123-152: bools → "true"/"false", ints → base-10, floats
+    → Go 'g' shortest formatting (functions/gofmt.py reproduces
+    strconv.FormatFloat(v, 'g', -1, bits) in Catalyst)."""
+    from pyspark.sql.types import DoubleType, FloatType
+
+    from loggie_spark.functions.gofmt import go_float_str
+
+    src = col_for_path(args[0])
+    dtype = ctx.df.select(src.alias("_probe")).schema[0].dataType
+    if isinstance(dtype, (DoubleType, FloatType)):
+        out = go_float_str(src)
+    else:
+        out = src.cast("string")
+    ctx.set_col(flat_name(args[0]), out)
 
 
 @register_action("timestamp")
 def _timestamp(ctx: _Ctx, args: list[str], extra: dict) -> None:
     """Reparse a time field between layouts / unix / unix_ms
-    (action/timestamp.go:72-116; Go layouts → JVM via go_layout_to_jvm)."""
+    (action/timestamp.go:72-116; Go layouts → JVM via go_layout_to_jvm).
+
+    ``fromLocation``/``toLocation`` (timestamp.go:97-109, IANA names):
+    the input wall time is interpreted in fromLocation (unless the
+    layout itself carries a zone) and the output rendered in
+    toLocation. The session timezone is UTC (session.py), so
+    ``to_utc_timestamp``/``from_utc_timestamp`` implement exactly Go's
+    ParseInLocation → timeutil.Format(loc) pair.
+    """
     key = args[0]
     from_layout = extra.get("fromLayout", "")
     to_layout = extra.get("toLayout", "")
+    from_loc = extra.get("fromLocation", "")
+    to_loc = extra.get("toLocation", "")
     src = col_for_path(key)
 
     if from_layout == "unix":
@@ -480,6 +574,11 @@ def _timestamp(ctx: _Ctx, args: list[str], extra: dict) -> None:
         ts = F.timestamp_millis(src.try_cast("long"))
     else:
         ts = F.try_to_timestamp(src.cast("string"), F.lit(go_layout_to_jvm(from_layout)))
+        if from_loc and from_loc != "UTC":
+            # Layouts with an explicit zone already parse absolutely;
+            # fromLocation applies to zone-less wall times (Go
+            # ParseInLocation semantics — zone in the string wins).
+            ts = F.to_utc_timestamp(ts, from_loc)
 
     failed = ts.isNull() & src.isNotNull()
     ctx.apply_error_policy(failed, extra)  # before overwrite (name-resolution)
@@ -488,7 +587,8 @@ def _timestamp(ctx: _Ctx, args: list[str], extra: dict) -> None:
     elif to_layout == "unix_ms":
         out = F.unix_millis(ts)
     else:
-        out = F.date_format(ts, go_layout_to_jvm(to_layout))
+        rendered = F.from_utc_timestamp(ts, to_loc) if to_loc and to_loc != "UTC" else ts
+        out = F.date_format(rendered, go_layout_to_jvm(to_layout))
     ctx.set_col(flat_name(key), out)
 
 
@@ -508,7 +608,7 @@ def _fmt_key(ctx: _Ctx, args: list[str], extra: dict) -> None:
     pat = re.compile(extra["regex"])
     repl = extra["replace"]
     for c in list(ctx.df.columns):
-        if c in (DROPPED, RETURNED):
+        if c in CONTROL_COLS:
             continue
         new = pat.sub(repl, c)
         if new != c:
@@ -530,7 +630,7 @@ class CompiledProgram:
     def finish(self, keep_control_cols: bool = False) -> DataFrame:
         out = self.df.filter(~F.col(DROPPED))
         if not keep_control_cols:
-            out = out.drop(DROPPED, RETURNED)
+            out = out.drop(*CONTROL_COLS)
         return out
 
 
@@ -545,10 +645,11 @@ def apply_program(
     Returns a :class:`CompiledProgram`; call ``.finish()`` to filter
     dropped rows and strip control columns.
     """
-    df = df.withColumn(DROPPED, F.lit(False)).withColumn(RETURNED, F.lit(False))
+    for c in CONTROL_COLS:
+        df = df.withColumn(c, F.lit(False))
     ctx = _Ctx(
         df=df,
-        gate=~F.col(DROPPED) & ~F.col(RETURNED),
+        gate=~F.col(DROPPED) & ~F.col(RETURNED) & ~F.col(ERRORED),
         gate_is_total=True,
         time_col=time_col,
         env=env,
@@ -584,7 +685,7 @@ def _apply_one(ctx: _Ctx, step: dict, extra_gate: Column | None) -> None:
     if name not in _ACTIONS:
         raise KeyError(f"unknown action: {name}")
     extra = {k: v for k, v in step.items() if k != "action"}
-    base_gate = ~F.col(DROPPED) & ~F.col(RETURNED)
+    base_gate = ~F.col(DROPPED) & ~F.col(RETURNED) & ~F.col(ERRORED)
     ctx.gate = base_gate if extra_gate is None else (base_gate & extra_gate)
     ctx.gate_is_total = extra_gate is None
     _ACTIONS[name](ctx, args, extra)

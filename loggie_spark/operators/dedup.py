@@ -47,6 +47,19 @@ def word_ngrams(words: Column, n: int) -> Column:
     ).otherwise(F.array(F.array_join(words, " ")))
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Repartition a few-partition scan up to the session's default
+    parallelism. Shingling/hashing cost is per-ROW compute, not IO: a
+    500 KB parquet file arrives as ONE partition and serializes the
+    whole corpus onto one core (measured 10s+ single-task stages). At
+    real scale inputs already have thousands of partitions and this is
+    a no-op; locally the tiny-text shuffle is microseconds."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _materialize(df: DataFrame, cols: dict[str, Column]) -> DataFrame:
     """Evaluate ``cols`` exactly once per row behind an inline()
     Generate barrier (Catalyst re-inlines expensive expressions into
@@ -188,69 +201,84 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // bands
     words = tokenize(F.col(text_col))
     grams = F.array_distinct(word_ngrams(words, shingle))
-    # (a,b) terms + gram sets computed ONCE per row (barrier); the md5
-    # pass never re-runs per seed, per band, or per join side.
-    terms = _materialize(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
-        {
-            "_grams": grams,
-            "_terms": minhash_pair_terms(F.col(text_col), shingle),
-        },
-    ).select("_id", "_grams", "_terms")
-    sig = F.array(
+    docs = spread_small_input(df).select(
+        F.col(id_col).alias("_id"), grams.alias("_grams")
+    )
+
+    # Signature table via EXPLODE + partial-agg min, not per-row array
+    # lambdas: higher-order functions (transform/aggregate) execute
+    # interpreted outside whole-stage codegen — measured ~10s for 5k
+    # docs — while explode → md5 → conv → 8 min() aggregates stay fully
+    # codegen (one md5 per gram) and map-side combine to one row per
+    # doc before the shuffle. This is also the only shape that works
+    # when a document's gram set outgrows a single array at 10^12 rows.
+    g = docs.select("_id", F.explode("_grams").alias("_g"))
+    h = F.md5(F.col("_g"))
+    a = F.conv(F.substring(h, 1, 10), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 11, 10), 16, 10).cast("long")
+    hashed = g.select("_id", a.alias("_a"), b.alias("_b"))
+    sig_tbl = hashed.groupBy("_id").agg(
         *[
-            F.array_min(F.transform(F.col("_terms"), _seed_hash(i)))
+            F.min(F.pmod(F.col("_a") + F.lit(i) * F.col("_b"), F.lit(MINHASH_MOD))).alias(
+                f"_s{i}"
+            )
             for i in range(n_hashes)
         ]
     )
-    base = _materialize(terms, {"_sig": sig}).select("_id", "_grams", "_sig")
 
+    # Banding carries only (id, band, bucket) — gram arrays never ride
+    # the candidate shuffle.
     band_entries = F.array(
         *[
             F.struct(
-                F.lit(b).alias("band"),
-                F.array_join(
-                    F.transform(
-                        F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
+                F.lit(bd).alias("band"),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"_s{bd * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
                 ).alias("bucket"),
             )
-            for b in range(bands)
+            for bd in range(bands)
         ]
     )
-    # Banding carries only (id, band, bucket) — gram arrays never ride
-    # the candidate shuffle; they are fetched back by id for the
-    # verified candidates only (tiny at any scale).
-    banded = base.select("_id", F.explode(band_entries).alias("_b")).select(
+    banded = sig_tbl.select("_id", F.explode(band_entries).alias("_b")).select(
         "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     )
     banded, keys = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
 
     left = banded.alias("l")
     right = banded.alias("r")
-    key_eq = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
-    cond = key_eq[0]
-    for c in key_eq[1:]:
-        cond = cond & c
+    cond = F.col("l._id") < F.col("r._id")
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
     cand = (
-        left.join(right, cond & (F.col("l._id") < F.col("r._id")))
+        left.join(right, cond)
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    grams_tbl = base.select("_id", "_grams")
-    cand = (
-        cand.join(grams_tbl.withColumnRenamed("_id", "id_a").withColumnRenamed("_grams", "ga"), "id_a")
-        .join(grams_tbl.withColumnRenamed("_id", "id_b").withColumnRenamed("_grams", "gb"), "id_b")
+    # Exact-Jaccard verify: gram sets come from a CHEAP branch (tokenize
+    # + shingle only, no hashing), pruned with a semi-join to candidate
+    # ids first so gram arrays materialize/shuffle only for docs that
+    # are actually in a candidate pair (AQE picks broadcast when the
+    # pruned side is small; no forced-broadcast OOM risk at 10^12).
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_id"))
+        .union(cand.select(F.col("id_b").alias("_id")))
+        .distinct()
     )
+    docs_c = docs.join(cand_ids, "_id", "left_semi")
+    ga = docs_c.select(F.col("_id").alias("id_a"), F.col("_grams").alias("ga"))
+    gb = docs_c.select(F.col("_id").alias("id_b"), F.col("_grams").alias("gb"))
+    verified = cand.join(ga, "id_a").join(gb, "id_b")
 
     inter = F.size(F.array_intersect("ga", "gb"))
     union = F.size(F.array_union("ga", "gb"))
     jac = inter.cast("double") / union.cast("double")
     return (
-        cand.withColumn("jaccard", F.round(jac, 4))
+        verified.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -310,7 +338,7 @@ def simhash_pairs(
     # Barrier: the 60-wide bit-vote fold must evaluate once per row,
     # not once per band entry per join side.
     fp = _materialize(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+        spread_small_input(df).select(F.col(id_col).alias("_id"), F.col(text_col)),
         {"_fp": simhash(F.col(text_col))},
     ).select("_id", "_fp")
 
@@ -368,7 +396,7 @@ def ngram_jaccard_pairs(
     ``block_words`` words (cheap deterministic blocking). ``bucket_cap``
     bounds degenerate blocks (:func:`_cap_buckets`)."""
     words = tokenize(F.col(text_col))
-    base = df.select(
+    base = spread_small_input(df).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(words).alias("_set"),
         F.array_join(F.slice(words, 1, block_words), " ").alias("_block"),

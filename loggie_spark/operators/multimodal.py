@@ -84,26 +84,32 @@ def decode_and_featurize(
                 raise NotImplementedError(
                     "real media decode requires PIL/ffmpeg (not in container)"
                 )
-            feats = pdf["payload"].map(lambda p: _fake_decode(bytes(p) if p is not None else b""))
-            out = pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": pdf["payload"].map(lambda p: 0 if p is None else len(p)).astype("int32"),
-                    "feat_hash": feats.map(lambda f: f["feat_hash"]),
-                    "width": feats.map(lambda f: f["width"]).astype("int32"),
-                    "height": feats.map(lambda f: f["height"]).astype("int32"),
-                }
-            )
-            yield out
+            # Bound the working set INSIDE the UDF: the session's Arrow
+            # batch size is a lazy global (mutating it here would race
+            # with other plans and wouldn't apply at execute time
+            # anyway), so each incoming frame is re-sliced to
+            # batch_rows-sized chunks — media payloads dominate memory,
+            # and this keeps peak bytes per chunk bounded regardless of
+            # the session batch config.
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                feats = chunk["payload"].map(
+                    lambda p: _fake_decode(bytes(p) if p is not None else b"")
+                )
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "kind": chunk["kind"],
+                        "n_bytes": chunk["payload"]
+                        .map(lambda p: 0 if p is None else len(p))
+                        .astype("int32"),
+                        "feat_hash": feats.map(lambda f: f["feat_hash"]),
+                        "width": feats.map(lambda f: f["width"]).astype("int32"),
+                        "height": feats.map(lambda f: f["height"]).astype("int32"),
+                    }
+                )
 
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
-    try:
-        return df.mapInPandas(process, FEATURE_SCHEMA)
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    return df.mapInPandas(process, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:

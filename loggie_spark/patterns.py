@@ -55,6 +55,38 @@ DEFAULT_GROK_PATTERNS: dict[str, str] = {
 _GROK_MACRO = re.compile(r"%\{(\w+)(?::(\w+))?\}")
 
 
+def load_grok_pattern_paths(paths: list[str]) -> dict[str, str]:
+    """Load custom grok macro tables from pattern files
+    (grok.go:189-236 loadPatterns/parseFiles): each path is a directory
+    of pattern files (or a single file); every non-blank, non-comment
+    line is ``NAME<whitespace>regex``. Loaded once at plan time.
+    http(s) URLs (grok.go:191-199) are rejected — plan-time fetches
+    from the driver are not a batch-engine concern."""
+    out: dict[str, str] = {}
+
+    def parse_file(fp: str) -> None:
+        with open(fp, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = line.split(None, 1)
+                if len(parts) == 2:
+                    out[parts[0]] = parts[1]
+
+    for p in paths:
+        if p.startswith(("http://", "https://")):
+            raise ValueError(f"grok patternPaths over http not supported: {p}")
+        if os.path.isdir(p):
+            for name in sorted(os.listdir(p)):
+                fp = os.path.join(p, name)
+                if os.path.isfile(fp):
+                    parse_file(fp)
+        elif os.path.isfile(p):
+            parse_file(p)
+    return out
+
+
 def suppress_unnamed_groups(pattern: str) -> str:
     """Turn every unnamed capturing ``(`` into ``(?:``, keeping named
     groups. Grok macro tables carry stray capture groups (e.g. YEAR
@@ -203,6 +235,15 @@ class PatternRenderError(ValueError):
     """Strict-mode render failure (pattern.go:149-151)."""
 
 
+def k8s_token_column(token: str) -> str:
+    """Column-name convention for ``${_k8s.*}`` tokens (k8meta.go:28-31,
+    85-130): the addK8sMeta broadcast enrich lands pod/node metadata in
+    columns named ``k8s_<field path with _>`` — e.g. ``_k8s.pod.name``
+    → ``k8s_pod_name``, ``_k8s.pod.container.id`` →
+    ``k8s_pod_container_id``."""
+    return "k8s_" + token[len("_k8s.") :].replace(".", "_")
+
+
 def compile_pattern(
     pattern: str,
     time_col: Column | None = None,
@@ -210,15 +251,21 @@ def compile_pattern(
 ) -> Column:
     """Compile a ``${...}`` routing pattern into a Column expression.
 
-    - ``${a.b}``       → header/field column reference
+    - ``${a.b}``       → header/field path (fieldpath DSL, so
+      ``${a.[b.c]}`` bracket-escaped keys resolve like everywhere else)
     - ``${+YYYY.MM.dd}`` → ``date_format(time_col, ...)`` — the time the
       event is *processed*; pass an explicit ``time_col`` for
       deterministic tests (defaults to ``current_timestamp()``)
     - ``${_env.X}``    → environment variable, resolved at plan time
+    - ``${_k8s.X}``    → k8s discovery metadata column (addK8sMeta
+      enrich must have run); missing values render "" like the
+      reference's K8sMatcherRender (k8meta.go:86-103)
 
     Joda-ish tokens used by loggie (YYYY/MM/dd/HH/mm/ss) map onto JVM
     pattern letters (YYYY → yyyy).
     """
+    from loggie_spark.fieldpath import col_for_path
+
     env = env if env is not None else dict(os.environ)
     tcol = time_col if time_col is not None else F.current_timestamp()
 
@@ -233,8 +280,12 @@ def compile_pattern(
             parts.append(F.date_format(tcol, fmt))
         elif token.startswith("_env."):
             parts.append(F.lit(env.get(token[5:], "")))
+        elif token.startswith("_k8s."):
+            parts.append(
+                F.coalesce(F.col(k8s_token_column(token)).cast("string"), F.lit(""))
+            )
         else:
-            parts.append(F.col(token).cast("string"))
+            parts.append(col_for_path(token).cast("string"))
         pos = m.end()
     if pos < len(pattern):
         parts.append(F.lit(pattern[pos:]))
@@ -290,20 +341,25 @@ def extract_pattern(
 
 def pattern_fields(pattern: str) -> list[str]:
     """Header fields referenced by a pattern (used for strict-mode
-    null checks and the kafka ifRenderTopicFailed policy)."""
+    null checks and the kafka ifRenderTopicFailed policy). ``_k8s.*``
+    tokens are excluded like ``_env.`` — the reference renders them
+    outside header strict-validation (k8meta.go K8sMatcherRender
+    returns "" rather than erroring)."""
     return [
         m.group(1)
         for m in _PATTERN_TOKEN.finditer(pattern)
-        if not m.group(1).startswith(("+", "_env."))
+        if not m.group(1).startswith(("+", "_env.", "_k8s."))
     ]
 
 
 def pattern_is_strict_ok(pattern: str) -> Column:
     """Column predicate: every field placeholder renders non-empty
     (strict mode, pattern.go:149-151,182-184)."""
+    from loggie_spark.fieldpath import col_for_path
+
     fields = pattern_fields(pattern)
     cond = F.lit(True)
     for f_ in fields:
-        c = F.col(f_).cast("string")
+        c = col_for_path(f_).cast("string")
         cond = cond & c.isNotNull() & (c != "")
     return cond

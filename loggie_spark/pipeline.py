@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import Observation
 
-from loggie_spark.actions import DROPPED, RETURNED, _apply_steps, _Ctx
+from loggie_spark.actions import CONTROL_COLS, DROPPED, ERRORED, RETURNED, _apply_steps, _Ctx
 from loggie_spark.checkpoint import BUCKET_COL, Manifest, with_bucket
 from loggie_spark.enrich import add_static_fields, broadcast_enrich
 from loggie_spark.sinks.router import (
@@ -47,6 +47,41 @@ from loggie_spark.sinks.router import (
 OBS_BUCKET_CAP = 1024
 
 
+FIELDS_FROM_PATH_MAX_BYTES = 1024  # pipeline.go:49 fieldsFromPathMaxBytes
+DEFAULT_TS_LAYOUT = "2006-01-02T15:04:05.000Z"  # pipeline.go defaultTsLayout
+
+# The three interceptors every pipeline silently gets unless it
+# configures them itself (sysconfig/config.go:58-88 defaultInterceptors,
+# verified by test/configuration/pipeline_test.go:89-102).
+DEFAULT_INTERCEPTORS: list[dict] = [
+    {"type": "metric"},
+    {"type": "maxbytes"},
+    {"type": "retry"},
+]
+
+
+def merge_interceptor_list(base: list[dict], defaults: list[dict]) -> list[dict]:
+    """MergeInterceptorList (core/interceptor/config.go:72-102): a
+    configured interceptor of the same type keeps its settings (default
+    keys fill gaps); defaults not configured are appended in default
+    order."""
+    if not base:
+        return list(defaults)
+    if not defaults:
+        return list(base)
+    default_by_type = {d["type"]: d for d in defaults}
+    merged: list[dict] = []
+    seen: set[str] = set()
+    for b in base:
+        d = default_by_type.get(b["type"])
+        merged.append({**d, **b} if d else dict(b))
+        seen.add(b["type"])
+    for d in defaults:
+        if d["type"] not in seen:
+            merged.append(dict(d))
+    return merged
+
+
 @dataclass
 class SourceSpec:
     """One named source: its parse program + static enrichment
@@ -55,6 +90,33 @@ class SourceSpec:
     name: str
     program: list[dict] = field(default_factory=list)
     fields: dict[str, object] = field(default_factory=dict)
+    fields_from_env: dict[str, str] = field(default_factory=dict)  # field → VAR
+    fields_from_path: dict[str, str] = field(default_factory=dict)  # field → file
+    body_key: str | None = None  # bodyKey remap (pipeline.go:1092-1095)
+    timestamp_key: str | None = None  # timestampKey (pipeline.go:1076-1090)
+    timestamp_layout: str = ""  # Go layout; "" = defaultTsLayout
+
+    def resolved_fields(self) -> dict[str, object]:
+        """Static + env + file fields, resolved once at PLAN time (the
+        reference reads env/files once at pipeline init,
+        pipeline.go:1006-1052)."""
+        import os
+
+        out = dict(self.fields)
+        for k, var in self.fields_from_env.items():
+            val = os.environ.get(var, "")
+            if val:
+                out[k] = val
+        for k, path in self.fields_from_path.items():
+            try:
+                with open(path, "rb") as fh:
+                    raw = fh.read(FIELDS_FROM_PATH_MAX_BYTES + 1)
+            except OSError:
+                continue  # pipeline.go:1036: log + skip, never fail
+            if len(raw) > FIELDS_FROM_PATH_MAX_BYTES:
+                continue  # pipeline.go:1041-1043 size cap
+            out[k] = raw.decode("utf-8", "replace").replace("\n", "").replace("\r", "")
+        return out
 
 
 @dataclass
@@ -64,11 +126,17 @@ class PipelineConfig:
     sinks: list[SinkSpec]
     lookup: DataFrame | None = None  # addK8sMeta-style broadcast dim
     lookup_keys: list[str] = field(default_factory=list)
+    interceptors: list[dict] = field(default_factory=list)  # pipeline-level
     n_buckets: int = 64  # checkpoint/work units; ~4096 at 100 TB
     salt: int = 8  # write-skew salt for heavy-hitter routes
     source_col: str = "source"
     decode_tokens: bool = True  # tokens:array<int32> → body:string
     time_col_name: str | None = None  # deterministic ${+...}; None = now()
+
+    def effective_interceptors(self) -> list[dict]:
+        """User-configured + silently-injected defaults
+        (sysconfig/config.go:58-88)."""
+        return merge_interceptor_list(self.interceptors, DEFAULT_INTERCEPTORS)
 
 
 class Pipeline:
@@ -93,10 +161,11 @@ class Pipeline:
         time_col = F.col(cfg.time_col_name) if cfg.time_col_name else None
 
         # Per-source action programs, gated by source name (belongTo).
-        df = df.withColumn(DROPPED, F.lit(False)).withColumn(RETURNED, F.lit(False))
+        for c in CONTROL_COLS:
+            df = df.withColumn(c, F.lit(False))
         ctx = _Ctx(
             df=df,
-            gate=~F.col(DROPPED) & ~F.col(RETURNED),
+            gate=~F.col(DROPPED) & ~F.col(RETURNED) & ~F.col(ERRORED),
             gate_is_total=True,
             time_col=time_col,
         )
@@ -106,11 +175,24 @@ class Pipeline:
             if multi:
                 ctx.program_has_control = True
             _apply_steps(ctx, src.program, extra_gate=gate)
-        out = ctx.df.filter(~F.col(DROPPED)).drop(DROPPED, RETURNED)
+            self._remap_source_keys(ctx, src, gate, time_col)
 
-        # Static per-source constants → one broadcast dim join when any
+        # Pipeline-level interceptors: user-configured merged with the
+        # silently-injected defaults (sysconfig/config.go:58-88). metric
+        # and retry are structural here — exact per-sink counts and the
+        # manifest resume are built into run(); maxbytes and
+        # normalize/transformer programs compile into this same pass.
+        for icp in self.cfg.effective_interceptors():
+            self._apply_interceptor(ctx, icp)
+
+        out = ctx.df.filter(~F.col(DROPPED)).drop(*CONTROL_COLS)
+
+        # Static per-source constants (+ fieldsFromEnv/fieldsFromPath,
+        # resolved at plan time) → one broadcast dim join when any
         # source declares fields (constant-folded when single-source).
-        const_fields = {s.name: s.fields for s in cfg.sources if s.fields}
+        const_fields = {
+            s.name: s.resolved_fields() for s in cfg.sources if s.resolved_fields()
+        }
         if const_fields:
             if not multi:
                 out = add_static_fields(out, next(iter(const_fields.values())))
@@ -140,6 +222,58 @@ class Pipeline:
             F.when(F.col(FAILED_COL), F.lit("__failed__")).otherwise(F.col(ROUTE_COL)),
         )
         return out
+
+    @staticmethod
+    def _remap_source_keys(ctx: _Ctx, src: SourceSpec, gate, time_col) -> None:
+        """bodyKey / timestampKey remaps (pipeline.go:1076-1095):
+        timestampKey exposes the formatted product time under a header
+        key; bodyKey moves the body under a header key and blanks the
+        body."""
+        if not (src.body_key or src.timestamp_key):
+            return
+        from loggie_spark.patterns import go_layout_to_jvm
+
+        ctx.gate = (
+            (~F.col(DROPPED) & ~F.col(RETURNED) & ~F.col(ERRORED))
+            if gate is None
+            else (~F.col(DROPPED) & ~F.col(RETURNED) & ~F.col(ERRORED) & gate)
+        )
+        ctx.gate_is_total = gate is None
+        if src.timestamp_key:
+            layout = src.timestamp_layout or DEFAULT_TS_LAYOUT
+            t = time_col if time_col is not None else F.current_timestamp()
+            ctx.set_col(src.timestamp_key, F.date_format(t, go_layout_to_jvm(layout)))
+        if src.body_key and "body" in ctx.df.columns:
+            ctx.set_col(src.body_key, F.col("body"))
+            ctx.set_col("body", F.lit(""))
+
+    @staticmethod
+    def _apply_interceptor(ctx: _Ctx, icp: dict) -> None:
+        """Compile one pipeline-level interceptor into the pass."""
+        typ = icp.get("type")
+        if typ in ("metric", "retry"):
+            return  # structural: run() computes metrics / manifest resume
+        if typ == "maxbytes":
+            from loggie_spark.functions.truncate import truncate_utf8_bytes
+
+            target = icp.get("target", "body")
+            max_bytes = int(icp.get("maxBytes", 131072))  # maxbytes/config.go:28
+            if target in ctx.df.columns:
+                ctx.gate = ~F.col(DROPPED) & ~F.col(RETURNED) & ~F.col(ERRORED)
+                ctx.gate_is_total = True
+                ctx.set_col(target, truncate_utf8_bytes(target, max_bytes))
+            return
+        if typ in ("normalize", "transformer"):
+            from loggie_spark.processors import compile_processors
+
+            program = (
+                compile_processors(icp.get("processors", []))
+                if typ == "normalize"
+                else icp.get("actions", [])
+            )
+            _apply_steps(ctx, program, extra_gate=None)
+            return
+        raise KeyError(f"unknown pipeline interceptor type: {typ}")
 
     # -- physical run -------------------------------------------------------
 

@@ -99,12 +99,12 @@ def _fmt(p: dict) -> list[dict]:
 
 
 def _add_meta(p: dict) -> list[dict]:
-    # Meta (pipeline/source/product_time) are already columns; addMeta
-    # re-exposes them under a target struct — fmt covers the remap.
-    target = p.get("target", "meta")
-    return [
-        {"action": f"copy(source, {target}_source)"},
-    ]
+    # Full meta-under-target semantics live in the addMeta action
+    # (addmeta.go:66-108) — schema-aware, all non-@private meta fields.
+    step = {"action": f"addMeta({p.get('target', 'meta')})"}
+    if "pipelineName" in p:
+        step["pipelineName"] = p["pipelineName"]
+    return [step]
 
 
 _PROCESSORS = {

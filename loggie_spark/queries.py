@@ -196,14 +196,17 @@ def pl_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the ACTUAL split action (split.go:72-100) through the
+    action compiler — the arity contract needs an exact key count, so
+    the first three words are pre-sliced into one field and the action
+    splits that."""
     docs = _t(spark, sf_dir, "documents")
-    parts = F.split(F.col("text"), " ")
-    return docs.select(
-        "doc_id",
-        parts.getItem(0).alias("w1"),
-        parts.getItem(1).alias("w2"),
-        parts.getItem(2).alias("w3"),
-    )
+    first3 = F.array_join(F.slice(F.split(F.col("text"), " "), 1, 3), " ")
+    out = apply_program(
+        docs.withColumn("head", first3),
+        [{"action": "split(head)", "separator": " ", "keys": ["w1", "w2", "w3"]}],
+    ).finish()
+    return out.select("doc_id", "w1", "w2", "w3")
 
 
 # -- timestamp conversion (normalize/timestamp.go) -------------------------
@@ -219,12 +222,57 @@ def pl_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def pl_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the ACTUAL timestamp action (timestamp.go:72-116): Go
+    layout parse → unix, and a second conversion to a dotted date."""
     events = _t(spark, sf_dir, "events")
-    return events.select(
-        "event_id",
-        F.unix_timestamp("ts").alias("unix_ts"),
-        F.date_format("ts", "yyyy.MM.dd").alias("day"),
-    )
+    t_str = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    out = apply_program(
+        events.withColumn("unix_ts", t_str).withColumn("day", t_str),
+        [
+            {
+                "action": "timestamp(unix_ts)",
+                "fromLayout": "2006-01-02 15:04:05",
+                "toLayout": "unix",
+            },
+            {
+                "action": "timestamp(day)",
+                "fromLayout": "2006-01-02 15:04:05",
+                "toLayout": "2006.01.02",
+            },
+        ],
+    ).finish()
+    return out.select("event_id", "unix_ts", "day")
+
+
+@register(
+    "pl_timestamp_loc",
+    oracle="""
+    SELECT event_id,
+           strftime(timezone('Asia/Shanghai',
+                    timezone('America/New_York', ts_wall)), '%Y-%m-%d %H:%M:%S') AS sh_time
+    FROM (SELECT event_id,
+                 CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_wall
+          FROM events)
+    """,
+)
+def pl_timestamp_loc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp from/toLocation (timestamp.go:97-109): a zone-less
+    wall time is interpreted in fromLocation and rendered in
+    toLocation."""
+    events = _t(spark, sf_dir, "events")
+    out = apply_program(
+        events.withColumn("sh_time", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")),
+        [
+            {
+                "action": "timestamp(sh_time)",
+                "fromLayout": "2006-01-02 15:04:05",
+                "fromLocation": "America/New_York",
+                "toLayout": "2006-01-02 15:04:05",
+                "toLocation": "Asia/Shanghai",
+            }
+        ],
+    ).finish()
+    return out.select("event_id", "sh_time")
 
 
 # -- ${...} route render (pattern.go; fmt action) --------------------------
@@ -609,9 +657,9 @@ def _simhash_oracle(bits=60) -> str:
 
 @register("td_dedup_simhash", oracle=_simhash_oracle())
 def td_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from loggie_spark.operators.dedup import simhash
+    from loggie_spark.operators.dedup import simhash, spread_small_input
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     return docs.select("doc_id", simhash(F.col("text")).alias("simhash"))
 
 
@@ -959,6 +1007,120 @@ def pl_schema_interceptor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- normalize processor dialect end-to-end (normalize/interceptor.go) -----
+
+
+# -- ${_k8s.*} routing tokens (k8meta.go:28-31,85-130) ----------------------
+
+
+@register(
+    "pl_k8s_route",
+    oracle="""
+    SELECT 'logs/ns' || CAST(length(source) % 3 AS VARCHAR) || '/p-' || source
+             AS route_key,
+           count(*) AS cnt
+    FROM documents GROUP BY 1
+    """,
+)
+def pl_k8s_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A route pattern using ${_k8s.pod.namespace}/${_k8s.pod.name}
+    renders after the addK8sMeta-shaped broadcast enrich lands the
+    k8s_* columns (k8s_token_column convention)."""
+    from loggie_spark.enrich import broadcast_enrich
+    from loggie_spark.patterns import compile_pattern
+
+    docs = _t(spark, sf_dir, "documents")
+    lookup = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.concat(F.lit("ns"), (F.length("source") % 3).cast("string")).alias(
+                "k8s_pod_namespace"
+            ),
+            F.concat(F.lit("p-"), F.col("source")).alias("k8s_pod_name"),
+        )
+    )
+    enriched = broadcast_enrich(docs, lookup, ["source"])
+    route = compile_pattern("logs/${_k8s.pod.namespace}/${_k8s.pod.name}")
+    return (
+        enriched.withColumn("route_key", route)
+        .groupBy("route_key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# -- file sink consistent-hash dirs + ES documentId -------------------------
+
+_FS_DIRS = ["/data/a/", "/data/b/", "/data/c/"]
+
+
+def _filesink_oracle() -> str:
+    hs = [md5_60bit_sql(f"'{d}|' || source") for d in _FS_DIRS]
+    pick = (
+        f"CASE WHEN {hs[0]} >= {hs[1]} AND {hs[0]} >= {hs[2]} THEN '{_FS_DIRS[0]}' "
+        f"WHEN {hs[1]} >= {hs[2]} THEN '{_FS_DIRS[1]}' ELSE '{_FS_DIRS[2]}' END"
+    )
+    return f"""
+    SELECT doc_id,
+           {pick} || 'logs/' || source || '.log' AS route_key,
+           CAST(doc_id AS VARCHAR) || '-' || source AS es_doc_id
+    FROM documents
+    """
+
+
+@register("pl_filesink_hash", oracle=_filesink_oracle())
+def pl_filesink_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file sink baseDirs consistent hashing (file/sink.go:81-92,
+    153-177; rendezvous over the md5-60bit family) + ES documentId
+    pattern (elasticsearch/client.go:209-216) in one routed pass."""
+    from loggie_spark.sinks.router import DOCID_COL, SinkSpec, explode_to_sinks
+
+    docs = _t(spark, sf_dir, "documents")
+    routed = explode_to_sinks(
+        docs,
+        [
+            SinkSpec(
+                "file",
+                route_pattern="logs/${source}.log",
+                base_dirs=list(_FS_DIRS),
+                dir_hash_key="${source}",
+                document_id="${doc_id}-${source}",
+            )
+        ],
+    )
+    return routed.select(
+        "doc_id", "route_key", F.col(DOCID_COL).alias("es_doc_id")
+    )
+
+
+# -- addMeta full semantics (addmeta.go:66-108) ------------------------------
+
+
+@register(
+    "pl_addmeta",
+    oracle="""
+    SELECT doc_id,
+           source AS src_name,
+           'p1' AS pl,
+           '2024-03-01 00:00:00' AS ptime
+    FROM documents
+    """,
+)
+def pl_addmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_t", F.lit("2024-03-01 00:00:00").cast("timestamp")
+    )
+    out = apply_program(
+        docs,
+        [{"action": "addMeta(meta)", "pipelineName": "p1"}],
+        time_col=F.col("_t"),
+    ).finish()
+    return out.select(
+        "doc_id",
+        F.col("meta.systemSourceName").alias("src_name"),
+        F.col("meta.systemPipelineName").alias("pl"),
+        F.date_format("meta.systemProductTime", "yyyy-MM-dd HH:mm:ss").alias("ptime"),
+    )
 
 
 @register(

@@ -61,6 +61,17 @@ def get_spark(
         .config("spark.driver.maxResultSize", "4g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # InferFiltersFromGenerate turns every explode(expensive_expr)
+        # into a `size(expensive_expr) > 0` filter that predicate
+        # pushdown then drives INTO the scan — the full shingle/route
+        # expression ran per row inside the (often single-task) scan
+        # stage and AGAIN in the projection. Measured 3-10× slowdown on
+        # the minhash/router plans; the filter only pre-prunes empty
+        # arrays, which the Generate skips anyway.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_INTERNAL = {"_bucket", "_route_failed", "_pkey"}
+_INTERNAL = {"_bucket", "_route_failed", "_pkey", "_doc_id"}
 
 
 def json_codec(

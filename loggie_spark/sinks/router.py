@@ -30,6 +30,7 @@ SINK_COL = "sink"
 ROUTE_COL = "route_key"
 FAILED_COL = "_route_failed"
 PKEY_COL = "_pkey"
+DOCID_COL = "_doc_id"
 
 
 @dataclass
@@ -49,11 +50,37 @@ class SinkSpec:
     on_render_fail: str = "fail"
     default_route: str = "loggie"
     partition_key: str | None = None  # kafka partitionKey analog
+    document_id: str | None = None  # ES documentId pattern (client.go:209-216)
+    base_dirs: list[str] = field(default_factory=list)  # file sink dirs
+    dir_hash_key: str | None = None  # consistent-hash key (file/sink.go:81-92)
 
     def selector_col(self) -> Column:
         if self.selector is None:
             return F.lit(True)
         return F.coalesce(compile_condition(self.selector), F.lit(False))
+
+
+def rendezvous_dir(key: Column, dirs: list[str]) -> Column:
+    """Deterministic consistent-hash dir selection — the batch analog
+    of the file sink's stathat ring (file/sink.go:81-92,153-163).
+
+    Highest-random-weight (rendezvous) hashing over the engine-agnostic
+    md5-60bit family: same consistency contract as the ring (removing a
+    dir reassigns only its keys), reproducible in any SQL engine for
+    oracles — the exact stathat crc32 ring layout is NOT copied.
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+
+    candidates = F.array(
+        *[
+            F.struct(
+                md5_60bit(F.concat(F.lit(d + "|"), key.cast("string"))).alias("h"),
+                F.lit(d).alias("d"),
+            )
+            for d in dirs
+        ]
+    )
+    return F.array_max(candidates)["d"]
 
 
 def attach_routes(
@@ -117,6 +144,21 @@ def explode_to_sinks(
             if s.partition_key
             else F.lit(None).cast("string")
         )
+        doc_id = (
+            compile_pattern(s.document_id, time_col=time_col).cast("string")
+            if s.document_id
+            else F.lit(None).cast("string")
+        )
+        if s.base_dirs:
+            # file sink consistent hashing: pick a base dir from the
+            # rendered dirHashKey, prefix the filename route
+            # (selectFilename, file/sink.go:153-177).
+            hash_key = (
+                compile_pattern(s.dir_hash_key, time_col=time_col)
+                if s.dir_hash_key
+                else F.lit("")
+            )
+            route = F.concat(rendezvous_dir(hash_key, s.base_dirs), route)
         entry = F.when(
             emit,
             F.struct(
@@ -124,6 +166,7 @@ def explode_to_sinks(
                 route.alias(ROUTE_COL),
                 failed.alias(FAILED_COL),
                 pkey.alias(PKEY_COL),
+                doc_id.alias(DOCID_COL),
             ),
         )
         entries.append(entry)
@@ -135,6 +178,7 @@ def explode_to_sinks(
         .withColumn(ROUTE_COL, F.col("_s")[ROUTE_COL])
         .withColumn(FAILED_COL, F.col("_s")[FAILED_COL])
         .withColumn(PKEY_COL, F.col("_s")[PKEY_COL])
+        .withColumn(DOCID_COL, F.col("_s")[DOCID_COL])
         .drop("_s")
     )
 

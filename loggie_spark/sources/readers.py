@@ -21,13 +21,45 @@ from pyspark.sql import functions as F
 
 def read_table(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     fmt: str = "parquet",
     include: list[str] | None = None,
+    glob: str | None = None,
+    exclude: str | None = None,
+    ignore_older: str | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
     """Scan with explicit column pruning (``include``) so the parquet
-    reader never materializes unused columns."""
-    df = spark.read.format(fmt).load(path)
+    reader never materializes unused columns.
+
+    file-source collect options (pkg/source/file/config.go paths /
+    excludeFiles / ignoreOlder) map onto scan-level features:
+
+    * ``glob``         → ``pathGlobFilter`` (include glob, applied at
+      file listing — a driver-side prune, no data touched)
+    * ``exclude``      → regex on the file path, filtered via
+      ``input_file_name()`` (excludeFiles semantics; listing-level
+      excludes beyond one glob need an external catalog)
+    * ``ignore_older`` → ``modifiedAfter`` (ISO-8601 timestamp): files
+      older than the cutoff never enter the listing, exactly like the
+      reference skipping stale files at discovery time
+    """
+    reader = spark.read.format(fmt)
+    if schema:
+        # required when the filters can exclude every file (schema
+        # inference needs at least one survivor)
+        reader = reader.schema(schema)
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if ignore_older:
+        reader = reader.option("modifiedAfter", ignore_older)
+    paths = path if isinstance(path, list) else [path]
+    df = reader.load(paths)
+    if exclude:
+        import re as _re
+
+        _re.compile(exclude)  # fail fast on a bad pattern, like the reference
+        df = df.filter(~F.input_file_name().rlike(exclude))
     return df.select(*include) if include else df
 
 

@@ -127,10 +127,21 @@ def session_stats(
             lo_ms, hi_ms = int(lo.timestamp() * 1000), int(hi.timestamp() * 1000)
             if state.exists:
                 s, e, c = state.get
-                state.update((min(s, lo_ms), max(e, hi_ms), c + n))
+                end_ms = max(e, hi_ms)
+                state.update((min(s, lo_ms), end_ms, c + n))
             else:
+                end_ms = hi_ms
                 state.update((lo_ms, hi_ms, n))
-            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + gap_ms)
+            # Expiry tracks the SESSION's last event time + gap, not the
+            # watermark + gap: a lagging watermark must not expire a
+            # live session (splitting it), and a watermark far past the
+            # session's end must not keep absorbing late events into it
+            # (merging distinct sessions). EventTimeTimeout requires a
+            # timestamp strictly beyond the current watermark, hence the
+            # max() floor.
+            state.setTimeoutTimestamp(
+                max(end_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+            )
         return
         yield  # pragma: no cover — generator form
 

@@ -204,7 +204,12 @@ def test_grok_expand_and_groups():
 def test_null_condition_rows_survive(spark):
     """Regression: conditions over missing/unparsed fields are NULL in
     SQL; the reference treats them as false. NULL gates must not poison
-    _dropped/_returned (rows were silently vanishing)."""
+    _dropped/_returned (rows were silently vanishing).
+
+    Default error policy (action.go:110-128 + actions.go:56-63): a
+    failed regex ABORTS the remaining program for that row and the
+    event forwards as-is — so non-matching rows survive but never
+    reach the add(topic) step."""
     df = spark.createDataFrame([Row(body="no match here"), Row(body=None)])
     program = [
         {"action": "regex(body)", "pattern": r"(?<status>\d{3})$"},
@@ -217,4 +222,24 @@ def test_null_condition_rows_survive(spark):
     out = apply_program(df, program).finish()
     rows = out.collect()
     assert len(rows) == 2
-    assert all(r.topic == "common" for r in rows)
+    assert all(r.topic is None for r in rows)
+
+    # With ignoreError the failure is swallowed and the program runs on.
+    program[0]["ignoreError"] = True
+    out2 = apply_program(df, program).finish()
+    rows2 = out2.collect()
+    assert len(rows2) == 2
+    assert all(r.topic == "common" for r in rows2)
+
+
+def test_default_error_policy_aborts_program_per_row(spark):
+    """Mixed batch: the failing row skips later steps; the matching row
+    completes the whole program (per-row Actions.Exec abort)."""
+    df = spark.createDataFrame([Row(v="42"), Row(v="oops")])
+    program = [
+        {"action": "strconv(v, int)"},
+        {"action": "add(seen, yes)"},
+    ]
+    out = apply_program(df, program).finish()
+    got = {r.v: r.seen for r in out.collect()}
+    assert got == {42: "yes", None: None}

@@ -23,7 +23,22 @@ def test_normalize_processors_chain(spark):
     out = apply_processors(df, processors).finish()
     r = out.collect()[0]
     assert r.severity == "ERROR" and r.n == 42 and r.site == "eu"
-    assert "body" not in out.columns and "level" not in out.columns
+    # jsonDecode can error per-row (default policy: abort + forward
+    # as-is), so later del/move NULL the field for processed rows but
+    # the column survives in the schema for potential errored rows.
+    assert r.body is None and r.level is None
+
+    # A chain with no error-capable step really drops the columns.
+    df2 = spark.createDataFrame([Row(a="1", b="2")])
+    out2 = apply_processors(
+        df2,
+        [
+            {"rename": {"rename": [{"from": "a", "to": "c"}]}},
+            {"drop": {"targets": ["b"]}},
+        ],
+    ).finish()
+    assert out2.columns == ["c"]
+    assert out2.collect()[0].c == "1"
 
 
 def test_json_codec_beats_format(spark):

@@ -42,12 +42,20 @@ def test_ascii_jvm_path_matches_udf(spark):
 def test_truncate_utf8(spark):
     from loggie_spark.functions.truncate import truncate_utf8_bytes
 
-    df = spark.createDataFrame([Row(text="aé€b"), Row(text="abcdef"), Row(text="ééé")])
+    df = spark.createDataFrame(
+        [Row(text="aé€b"), Row(text="abcdef"), Row(text="ééé"), Row(text="ab€")]
+    )
     out = df.select("text", truncate_utf8_bytes("text", 4).alias("t")).collect()
     got = {r.text: r.t for r in out}
-    # "aé€b" bytes: a(1) é(2) €(3) — 4 bytes cuts into €, so keep "aé"
-    assert got["aé€b"] == "aé"
+    # subUtf8 (interceptor.go:107-115) cuts at the first rune START at
+    # or after maxBytes — a straddling rune is KEPT, so the cut may
+    # exceed maxBytes by up to 3 bytes:
+    # "aé€b" = a(1)é(2)€(3)b(1); byte 4 lands inside € → keep "aé€".
+    assert got["aé€b"] == "aé€"
     assert got["abcdef"] == "abcd"
+    # "ééé": byte 4 is the start of the third é → exact 4-byte cut.
     assert got["ééé"] == "éé"
+    # scan runs off the end (no rune start after maxBytes) → keep all.
+    assert got["ab€"] == "ab€"
     for r in out:
-        assert len(r.t.encode("utf-8")) <= 4
+        assert len(r.t.encode("utf-8")) <= 4 + 3
