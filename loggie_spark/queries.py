@@ -1147,3 +1147,93 @@ def pl_normalize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).finish()
     return out.select("event_id", "k", "k_num", "site")
+
+
+# ===========================================================================
+# td_* — multimodal columns (binary payload plumbing)
+# ===========================================================================
+
+_HEX_NIBBLE = "(strpos('0123456789abcdef', substr(md5(text),{i},1))-1)"
+
+
+def _hex4_to_int_sql() -> str:
+    """int(md5(text)[pos:pos+4], 16) in portable SQL (DuckDB lacks a
+    hex-string→int cast)."""
+    def at(i: int, mul: int) -> str:
+        return f"{_HEX_NIBBLE.format(i=i)}*{mul}"
+
+    return {
+        "w": " + ".join([at(1, 4096), at(2, 256), at(3, 16), at(4, 1)]),
+        "h": " + ".join([at(5, 4096), at(6, 256), at(7, 16), at(8, 1)]),
+    }
+
+
+@register(
+    "td_multimodal_featurize",
+    oracle=f"""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CASE CAST(length(text) % 3 AS INTEGER)
+             WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           md5(text) AS feat_hash,
+           CAST(({_hex4_to_int_sql()['w']}) % 1024 AS INTEGER) AS width,
+           CAST(({_hex4_to_int_sql()['h']}) % 1024 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def td_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/featurize plumbing end-to-end: an opaque
+    ``binary`` payload column rides a narrow Arrow-batched mapInPandas
+    stage (operators/multimodal.py) and never shuffles. The codec is
+    the declared deterministic stub (md5-derived pseudo-features), so
+    DuckDB reproduces it bit-exactly — this certifies the batch shape,
+    schema and byte handling, not a real image decode."""
+    from loggie_spark.operators.multimodal import decode_and_featurize
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.length("text") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length("text") % 5000).cast("int").alias("duration_ms"),
+    )
+    return decode_and_featurize(media).select(
+        "media_id", "kind", "n_bytes", "feat_hash", "width", "height"
+    )
+
+
+@register(
+    "td_frame_sample",
+    oracle="""
+    SELECT CAST(doc_id AS VARCHAR) AS media_id,
+           CAST(unnest(generate_series(0, CAST(length(text) % 5000 AS INTEGER), 1000))
+                AS INTEGER) AS frame_ts_ms
+    FROM documents
+    WHERE length(text) % 3 = 2
+    """,
+)
+def td_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sample *plan*: per-video timestamp explosion is
+    metadata-only (payload column pruned before the Generate), so the
+    heavy bytes never ride the explode."""
+    from loggie_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.length("text") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        (F.length("text") % 5000).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("int").alias("frame_ts_ms")
+    )
