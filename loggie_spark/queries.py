@@ -1237,3 +1237,213 @@ def td_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=1000).select(
         "media_id", F.col("frame_ts_ms").cast("int").alias("frame_ts_ms")
     )
+
+
+# ===========================================================================
+# pl_* — source/sink codecs, kafka wire, string/type actions, grammar
+# (upgrading pytest-only components to oracle-backed driver rows)
+# ===========================================================================
+
+
+@register(
+    "pl_source_codec",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS body,
+           json_extract_string(props, '$.k') AS k
+    FROM events
+    """,
+)
+def pl_source_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source codec json with bodyFields (codec/json/json.go:28-37,61):
+    the named field REPLACES the body before the interceptor chain."""
+    from loggie_spark.sources.readers import decode_json_codec
+
+    events = _t(spark, sf_dir, "events").withColumnRenamed("props", "body")
+    out = decode_json_codec(events, fields=["k"], body_field="k")
+    return out.select("event_id", "body", "k")
+
+
+@register(
+    "pl_source_codec_regex",
+    oracle="""
+    SELECT event_id,
+           regexp_extract(event_type || ':' || CAST(user_id AS VARCHAR),
+                          '^([a-z]+):([0-9]+)$', 1) AS etype,
+           regexp_extract(event_type || ':' || CAST(user_id AS VARCHAR),
+                          '^([a-z]+):([0-9]+)$', 2) AS uid,
+           regexp_extract(event_type || ':' || CAST(user_id AS VARCHAR),
+                          '^([a-z]+):([0-9]+)$', 1) AS body
+    FROM events
+    """,
+)
+def pl_source_codec_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source codec regex (codec/regex/regex.go:12-24,56): named groups
+    → columns, bodyFields lift."""
+    from loggie_spark.sources.readers import decode_regex_codec
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "body", F.concat_ws(":", "event_type", "user_id")
+    )
+    out = decode_regex_codec(
+        events, r"^(?<etype>[a-z]+):(?<uid>\d+)$", body_field="etype"
+    )
+    return out.select("event_id", "etype", "uid", "body")
+
+
+@register(
+    "pl_sink_codec",
+    oracle="""
+    SELECT event_id,
+           '{"message":"' || event_type || '","@timestamp":"' ||
+             strftime(ts, '%Y-%m-%dT%H:%M:%S.') || substr(strftime(ts, '%f'), 1, 3)
+             || 'Z"}' AS payload,
+           event_type AS raw_payload
+    FROM events
+    """,
+)
+def pl_sink_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sink codecs: json + beatsFormat (sink/codec/json/json.go:63-108 —
+    body → ``message``, event time → ``@timestamp``) and raw
+    (raw.go:49-54). The oracle reproduces the exact serialized JSON
+    string, certifying field order, key names and millisecond time
+    format."""
+    from loggie_spark.sinks.codecs import json_codec, raw_codec
+
+    events = _t(spark, sf_dir, "events").withColumn("body", F.col("event_type"))
+    out = json_codec(
+        events, body_col="body", time_col="ts", beats_format=True, include=["body"]
+    )
+    out = raw_codec(out, body_col="body", out_col="raw_payload")
+    return out.select("event_id", "payload", "raw_payload")
+
+
+@register(
+    "pl_replace",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, ' ', '_'), ' ', '_') AS under2,
+           regexp_replace(text, '[aeiou]', '*', 'g') AS novowel
+    FROM documents
+    """,
+)
+def pl_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """replace with max-N (replace.go: first N occurrences only) and
+    replaceRegex global substitution, both through the action engine;
+    the oracle emulates max=2 by two single-shot regexp_replace calls."""
+    docs = _t(spark, sf_dir, "documents")
+    out = apply_program(
+        docs.withColumn("under2", F.col("text")).withColumn("novowel", F.col("text")),
+        [
+            {"action": "replace(under2)", "old": " ", "new": "_", "max": 2},
+            {"action": "replaceRegex(novowel)", "expression": "[aeiou]", "replace": "*"},
+        ],
+    ).finish()
+    return out.select("doc_id", "under2", "novowel")
+
+
+@register(
+    "pl_tostr",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           regexp_replace(CAST(l_quantity AS VARCHAR), '\\.0$', '') AS qty_s,
+           regexp_replace(CAST(l_extendedprice AS VARCHAR), '\\.0$', '') AS price_s,
+           CAST(l_linenumber AS VARCHAR) AS line_s,
+           CASE WHEN l_quantity > 25 THEN 'true' ELSE 'false' END AS big_s
+    FROM lineitem
+    """,
+)
+def pl_tostr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """toStr (tostr.go:123-152): floats render as Go
+    strconv.FormatFloat(v,'g',-1,64) shortest digits, ints base-10,
+    bools "true"/"false". DuckDB's shortest-round-trip cast equals the
+    Go form on this value range once the integral ``.0`` is stripped."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = apply_program(
+        li.withColumn("qty_s", F.col("l_quantity"))
+        .withColumn("price_s", F.col("l_extendedprice"))
+        .withColumn("line_s", F.col("l_linenumber"))
+        .withColumn("big_s", F.col("l_quantity") > 25),
+        [
+            {"action": "toStr(qty_s)"},
+            {"action": "toStr(price_s)"},
+            {"action": "toStr(line_s)"},
+            {"action": "toStr(big_s)"},
+        ],
+    ).finish()
+    return out.select("l_orderkey", "l_linenumber", "qty_s", "price_s", "line_s", "big_s")
+
+
+@register(
+    "pl_conditions",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'error' AND value > 10 THEN 'hot' ELSE '' END AS sev,
+           CASE WHEN NOT event_type = 'error' OR value > 99.9 THEN 'calm' ELSE '' END
+             AS calm
+    FROM events
+    """,
+)
+def pl_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condition grammar end-to-end (transformer/condition.go:116-161):
+    AND chains, OR chains, NOT atoms, greater() over numeric strings —
+    driving if/then/else branch gating in the action engine."""
+    events = _t(spark, sf_dir, "events")
+    out = apply_program(
+        events.withColumn("sev", F.lit("")).withColumn("calm", F.lit("")),
+        [
+            {
+                "if": "equal(event_type, error) AND greater(value, 10)",
+                "then": [{"action": "add(sev, hot)"}],
+            },
+            {
+                "if": "NOT equal(event_type, error) OR greater(value, 99.9)",
+                "then": [{"action": "add(calm, calm)"}],
+            },
+        ],
+    ).finish()
+    return out.select("event_id", "sev", "calm")
+
+
+@register(
+    "pl_kafka_roundtrip",
+    oracle="""
+    SELECT event_id,
+           props AS body,
+           'ev-' || CAST(event_id % 3 AS VARCHAR) AS topic,
+           CAST(event_id AS VARCHAR) AS key_s,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' AS kafka_ts
+    FROM events
+    """,
+)
+def pl_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka connector wire round-trip: producer encode (sink side —
+    value/key bytes, topic render) through consumer decode (source side
+    — kafka.go:221-236 addonMeta struct). Certifies lossless
+    binary⇄string body transport and the RFC3339 record timestamp."""
+    from loggie_spark.sources.kafka import decode_kafka_records, kafka_records_from_table
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "_topic", F.concat(F.lit("ev-"), (F.col("event_id") % 3).cast("string"))
+    )
+    wire = kafka_records_from_table(
+        events.select(
+            F.col("props").alias("body"),
+            F.col("event_id").cast("string").alias("k"),
+            "_topic",
+            "ts",
+            "event_id",
+        ),
+        body_col="body",
+        topic=F.col("_topic"),
+        key_col="k",
+        time_col="ts",
+    ).withColumn("event_id", F.col("key").cast("string").cast("long"))
+    dec = decode_kafka_records(wire)
+    return dec.select(
+        "event_id",
+        "body",
+        "topic",
+        F.col("event_id").cast("string").alias("key_s"),
+        F.col("kafka.timestamp").alias("kafka_ts"),
+    )
