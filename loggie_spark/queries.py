@@ -1447,3 +1447,165 @@ def pl_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("string").alias("key_s"),
         F.col("kafka.timestamp").alias("kafka_ts"),
     )
+
+
+@register(
+    "pl_multiline",
+    oracle="""
+    WITH lines AS (
+      SELECT 'f' || CAST(doc_id % 8 AS VARCHAR) AS filename,
+             doc_id * 1000 + w.pos AS line_off,
+             w.word AS body
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS word,
+                           generate_subscripts(string_split(text, ' '), 1) AS pos) w
+    ), marked AS (
+      SELECT *, CASE WHEN regexp_matches(body, '^[a-h]') THEN 1 ELSE 0 END AS s
+      FROM lines
+    ), recs AS (
+      SELECT *, sum(s) OVER (PARTITION BY filename ORDER BY line_off) AS rec
+      FROM marked
+    ), subs AS (
+      SELECT *, CAST(floor((row_number() OVER (PARTITION BY filename, rec
+                             ORDER BY line_off) - 1) / 4) AS BIGINT) AS sub
+      FROM recs
+    )
+    SELECT filename,
+           string_agg(body, chr(10) ORDER BY line_off) AS body,
+           min(line_off) AS line_off,
+           count(*) AS n_lines
+    FROM subs GROUP BY filename, rec, sub
+    """,
+)
+def pl_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline record aggregation (multilines.go:115-150): pattern
+    marks record starts, non-matching lines append with newline joins,
+    maxLines=4 force-flushes. One shuffle: hash(filename) satisfies the
+    window and the merge groupBy."""
+    from loggie_spark.sources.readers import merge_multiline
+
+    docs = _t(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.concat(F.lit("f"), (F.col("doc_id") % 8).cast("string")).alias("filename"),
+        F.posexplode(F.split("text", " ")).alias("pos", "body"),
+        F.col("doc_id"),
+    ).select(
+        "filename",
+        (F.col("doc_id") * 1000 + F.col("pos") + 1).alias("line_off"),
+        "body",
+    )
+    out = merge_multiline(
+        lines, r"^[a-h]", file_col="filename", offset_col="line_off", max_lines=4
+    )
+    return out.select("filename", "body", "line_off", F.col("n_lines"))
+
+
+@register(
+    "pl_default_injection",
+    oracle="""
+    SELECT 'definj' AS pipeline, source, 'k' AS sink,
+           count(*) AS success_count,
+           sum(least(octet_length(encode(text)), 64)) AS trunc_bytes
+    FROM documents GROUP BY source
+    """,
+)
+def pl_default_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default interceptor injection (sysconfig/config.go:58-88 +
+    MergeInterceptorList, core/interceptor/config.go:72-102): the user
+    configures ONLY maxbytes; metric is silently injected, so per-sink
+    exact counts exist without being asked for — and the configured
+    maxBytes=64 override actually truncates the body (observable as the
+    per-source truncated byte sum; ASCII corpus, so the UTF-8 boundary
+    scan lands exactly at 64)."""
+    from loggie_spark.pipeline import Pipeline, PipelineConfig, SourceSpec
+    from loggie_spark.sinks.router import SINK_COL, SinkSpec
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("body", F.col("text"))
+    )
+    cfg = PipelineConfig(
+        name="definj",
+        sources=[SourceSpec(f"src{i}") for i in range(20)],
+        sinks=[SinkSpec("k", route_pattern="t-${source}")],
+        interceptors=[{"type": "maxbytes", "maxBytes": 64}],
+        decode_tokens=False,
+    )
+    routed = Pipeline(cfg).transform(docs)
+    return routed.groupBy(
+        F.lit("definj").alias("pipeline"),
+        F.col("source"),
+        F.col(SINK_COL).alias("sink"),
+    ).agg(
+        F.count(F.lit(1)).alias("success_count"),
+        F.sum(F.octet_length("body")).alias("trunc_bytes"),
+    )
+
+
+# ===========================================================================
+# td_* — token-sequence shaping (context-window chunking, packing)
+# ===========================================================================
+
+
+@register(
+    "td_token_chunk",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents
+    ), s AS (
+      SELECT doc_id, text, n,
+             unnest(generate_series(1, greatest(n, 1), 16)) AS start
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(floor((start - 1) / 16) AS INTEGER) AS chunk_idx,
+           substr(text, start, 32) AS chunk_str,
+           CAST(least(32, n - start + 1) AS INTEGER) AS chunk_len
+    FROM s WHERE least(32, n - start + 1) >= 1
+    """,
+)
+def td_token_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking over token arrays (max_len=32,
+    stride=16 → 50% overlap): narrow sequence()+slice() Generate, zero
+    shuffle. Tokens are the UTF-8 bytes of the text (BASELINE input
+    shape), so the DuckDB oracle reproduces each chunk with substr on
+    the ASCII corpus."""
+    from loggie_spark.functions.tokens import encode_text_to_tokens
+    from loggie_spark.operators.packing import chunk_sequences
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "tokens", encode_text_to_tokens(F.col("text"))
+    )
+    out = chunk_sequences(docs, max_len=32, stride=16)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr("array_join(transform(chunk, x -> char(x)), '')").alias("chunk_str"),
+        "chunk_len",
+    )
+
+
+@register(
+    "td_seq_pack",
+    oracle="""
+    SELECT doc_id, source,
+           CAST(floor(COALESCE(sum(n_chars) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2048)
+             AS BIGINT) AS pack_id,
+           CAST(COALESCE(sum(n_chars) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % 2048
+             AS INTEGER) AS pack_offset
+    FROM documents
+    """,
+)
+def td_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing into max_len=2048 training bins
+    (straddle-allowed packed-attention variant): one window shuffle on
+    source, token arrays never ride it."""
+    from loggie_spark.operators.packing import pack_sequences_binned
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_sequences_binned(docs, len_col="n_chars", max_len=2048)
+    return out.select("doc_id", "source", "pack_id", "pack_offset")

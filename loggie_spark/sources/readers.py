@@ -125,3 +125,134 @@ def decode_regex_codec(
     if body_field:
         out = out.withColumn(body_col, F.col(body_field))
     return out
+
+
+def merge_multiline(
+    df: DataFrame,
+    pattern: str,
+    file_col: str = "filename",
+    offset_col: str = "offset",
+    body_col: str = "body",
+    max_lines: int = 500,
+    max_bytes: int | None = None,
+    line_end: str = "\n",
+) -> DataFrame:
+    """Multiline record aggregation (pkg/source/file/multilines.go:115-150,
+    config.go:131-137): ``pattern`` matches the FIRST line of a record —
+    a matching line flushes the accumulating record and starts a new one;
+    non-matching lines append, joined by ``line_end``. Lines before the
+    first match form their own leading record. ``max_lines`` force-flushes
+    a record at the cap (appendContent's currentLines guard), so no output
+    record exceeds it.
+
+    Scale shape: ONE shuffle — hash(file) satisfies the clustering of
+    both the record-numbering window and the (file, rec, sub) groupBy,
+    so numbering, sub-splitting and the ordered merge all run in the
+    same exchange. Files are the natural parallel unit, exactly like
+    the reference's one-reader-per-file model.
+
+    ``max_bytes`` (the cumulative-size flush, a stateful fold that plain
+    window functions can't express) runs as a per-record applyInPandas
+    greedy split — bounded work since max_lines already caps record
+    height.
+    """
+    from pyspark.sql import Window
+
+    is_start = F.col(body_col).rlike(pattern)
+    w = Window.partitionBy(file_col).orderBy(offset_col)
+    out = df.withColumn("_rec", F.sum(is_start.cast("int")).over(w))
+    if max_lines:
+        wr = Window.partitionBy(file_col, "_rec").orderBy(offset_col)
+        out = out.withColumn(
+            "_sub", F.floor((F.row_number().over(wr) - F.lit(1)) / F.lit(max_lines))
+        )
+    else:
+        out = out.withColumn("_sub", F.lit(0))
+
+    if max_bytes:
+        return _merge_multiline_bytes(
+            out, file_col, offset_col, body_col, max_bytes, line_end
+        )
+
+    merged = out.groupBy(file_col, "_rec", "_sub").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(offset_col).alias("o"), F.col(body_col).alias("b")
+                        )
+                    )
+                ),
+                lambda s: s["b"],
+            ),
+            line_end,
+        ).alias(body_col),
+        F.min(offset_col).alias(offset_col),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return merged.drop("_rec", "_sub")
+
+
+def _merge_multiline_bytes(
+    df: DataFrame,
+    file_col: str,
+    offset_col: str,
+    body_col: str,
+    max_bytes: int,
+    line_end: str,
+) -> DataFrame:
+    """Greedy byte-capped merge: appendContent flushes when the joined
+    size would exceed maxBytes (multilines.go:117-121,144-147). Runs per
+    (file, pattern-record) group — a stateful fold, so Arrow-batched
+    pandas, never a window."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    in_file_t = df.schema[file_col].dataType
+    in_off_t = df.schema[offset_col].dataType
+    schema = StructType(
+        [
+            StructField(file_col, in_file_t),
+            StructField(body_col, StringType()),
+            StructField(offset_col, in_off_t),
+            StructField("n_lines", LongType()),
+        ]
+    )
+    sep_n = len(line_end.encode("utf-8"))
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(offset_col)
+        rows, buf, size, first_off = [], [], 0, None
+        fname = pdf[file_col].iloc[0]
+
+        def flush():
+            nonlocal buf, size, first_off
+            if buf:
+                rows.append((fname, line_end.join(buf), first_off, len(buf)))
+            buf, size, first_off = [], 0, None
+
+        for off, body in zip(pdf[offset_col], pdf[body_col]):
+            b = 0 if body is None else len(body.encode("utf-8"))
+            # reference pre-check (multilines.go:117): sizeAvailable =
+            # MaxBytes - len(body) - currentSize, separator NOT counted
+            if size > 0 and max_bytes - b - size <= 0:
+                flush()
+            if not buf:
+                first_off = off
+            else:
+                size += sep_n
+            buf.append(body or "")
+            size += b
+            if size >= max_bytes:
+                flush()
+        flush()
+        return pd.DataFrame(rows, columns=[file_col, body_col, offset_col, "n_lines"])
+
+    return df.groupBy(file_col, "_rec", "_sub").applyInPandas(fold, schema)

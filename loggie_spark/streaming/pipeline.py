@@ -38,6 +38,8 @@ def stream_pipeline(
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     kafka_source=None,
+    rate_limit_qps: int | None = None,
+    trigger_seconds: int = 10,
 ) -> StreamingQuery:
     """Continuous parse → enrich → route into a partitioned parquet
     sink. ``available_now=True`` drains the backlog and stops (used in
@@ -48,6 +50,14 @@ def stream_pipeline(
     KafkaSourceConfig` — a kafka subscription whose records are decoded
     to the event shape (body + addonMeta) before the same transform.
     """
+    # rateLimit interceptor (pkg/interceptor/ratelimit/interceptor.go:
+    # qps token bucket) maps declaratively: a ProcessingTime trigger of
+    # T seconds with maxOffsets/maxFiles = qps*T caps sustained intake
+    # at qps without per-event gating — backpressure instead of drops,
+    # which is also what loggie's limiter does (it blocks, not drops).
+    if rate_limit_qps:
+        max_files_per_trigger = rate_limit_qps * trigger_seconds
+
     if kafka_source is not None:
         from loggie_spark.sources.kafka import decode_kafka_records, read_kafka
 
@@ -77,6 +87,8 @@ def stream_pipeline(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif rate_limit_qps:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
 
 

@@ -33,6 +33,7 @@ from loggie_spark.pipeline import Pipeline
 from loggie_spark.sinks.metrics import sink_metrics
 
 cpus = int(sys.argv[1]); n = int(sys.argv[2]); path = sys.argv[3]
+warmups = int(sys.argv[4]); passes = int(sys.argv[5])
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 import os
@@ -53,15 +54,15 @@ def once():
 # Generated-code JIT needs ~2 full passes to reach steady state
 # (observed: 92s -> 61s -> 22s on identical input); 3 warmups, then
 # every measured run is steady.
-for _ in range(3):
+for _ in range(warmups):
     once()
-times = [round(once(), 3) for _ in range(5)]
+times = [round(once(), 3) for _ in range(passes)]
 print(json.dumps({"cpus": cpus, "sec": times}))
 spark.stop()
 """
 
 
-def run_round(cpus: int, n: int, path: str) -> float:
+def run_round(cpus: int, n: int, path: str, warmups: int = 3, passes: int = 5) -> float:
     # Pin the whole process tree (JVM task threads, GC/JIT threads,
     # python workers) to exactly `cpus` CPUs — otherwise the "N-core"
     # level borrows idle cores for GC and Arrow workers and the
@@ -69,7 +70,7 @@ def run_round(cpus: int, n: int, path: str) -> float:
     # N-core executor has no spare cores to borrow).
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", WORKER,
-         str(cpus), str(n), path],
+         str(cpus), str(n), path, str(warmups), str(passes)],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -85,12 +86,14 @@ def main() -> None:
     ap.add_argument("--n-seq", type=int, default=10_000_000)
     ap.add_argument("--base-cores", type=int, default=8)
     ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--warmups", type=int, default=3)
+    ap.add_argument("--passes", type=int, default=5)
     args = ap.parse_args()
 
     path = f"/tmp/loggie_bench_seq_{args.n_seq}"
-    lo_times = run_round(args.base_cores, args.n_seq, path)
+    lo_times = run_round(args.base_cores, args.n_seq, path, args.warmups, args.passes)
     print(f"{args.base_cores}c: {lo_times}", file=sys.stderr)
-    hi_times = run_round(args.base_cores * 4, args.n_seq, path)
+    hi_times = run_round(args.base_cores * 4, args.n_seq, path, args.warmups, args.passes)
     print(f"{args.base_cores * 4}c: {hi_times}", file=sys.stderr)
 
     lo, hi = min(lo_times), min(hi_times)
@@ -98,7 +101,7 @@ def main() -> None:
     result = {
         "job": "flagship parse->enrich->route->aggregate",
         "n_seq": args.n_seq,
-        "protocol": "one JVM per level, 3 JIT-warmup passes + 5 measured; min over passes (shared host with minute-scale CPU-steal noise)",
+        "protocol": f"one JVM per level, {args.warmups} JIT-warmup passes + {args.passes} measured; min over passes (shared host with minute-scale CPU-steal noise)",
         "levels": [
             {
                 "cpus": args.base_cores,

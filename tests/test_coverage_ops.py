@@ -186,3 +186,66 @@ def test_aggregator_windowed(spark):
     ).collect()
     got = {str(r.window.start): (r.cnt, r.total) for r in out}
     assert got == {"2024-03-01 10:00:00": (2, 4.0), "2024-03-01 10:01:00": (1, 5.0)}
+
+
+# -- multiline aggregation (pkg/source/file/multilines.go:115-150) ----------
+
+
+def test_multiline_merge_stacktrace(spark):
+    """Pattern marks record starts; continuation lines (stacktraces)
+    join with newline; leading unmatched lines form their own record."""
+    from loggie_spark.sources.readers import merge_multiline
+
+    lines = [
+        ("a.log", 1, "  at lonely.continuation(line)"),  # before any start
+        ("a.log", 2, "2024-01-01 ERROR boom"),
+        ("a.log", 3, "  at com.example.Foo(Foo.java:1)"),
+        ("a.log", 4, "  at com.example.Bar(Bar.java:2)"),
+        ("a.log", 5, "2024-01-01 INFO fine"),
+        ("b.log", 1, "2024-01-02 WARN solo"),
+    ]
+    df = spark.createDataFrame(lines, "filename string, line_off long, body string")
+    out = merge_multiline(
+        df, r"^\d{4}-\d{2}-\d{2}", offset_col="line_off", max_lines=500
+    )
+    rows = {(r.filename, r.line_off): (r.body, r.n_lines) for r in out.collect()}
+    assert rows[("a.log", 1)] == ("  at lonely.continuation(line)", 1)
+    assert rows[("a.log", 2)] == (
+        "2024-01-01 ERROR boom\n  at com.example.Foo(Foo.java:1)\n"
+        "  at com.example.Bar(Bar.java:2)",
+        3,
+    )
+    assert rows[("a.log", 5)] == ("2024-01-01 INFO fine", 1)
+    assert rows[("b.log", 1)] == ("2024-01-02 WARN solo", 1)
+
+
+def test_multiline_max_lines_flush(spark):
+    """currentLines >= MaxLines force-flush (multilines.go:144-147):
+    a 5-line record at maxLines=2 splits 2/2/1."""
+    from loggie_spark.sources.readers import merge_multiline
+
+    lines = [("f", i, "START" if i == 1 else f"cont{i}") for i in range(1, 6)]
+    df = spark.createDataFrame(lines, "filename string, line_off long, body string")
+    out = merge_multiline(df, r"^START", offset_col="line_off", max_lines=2)
+    got = sorted((r.line_off, r.n_lines, r.body) for r in out.collect())
+    assert got == [
+        (1, 2, "START\ncont2"),
+        (3, 2, "cont3\ncont4"),
+        (5, 1, "cont5"),
+    ]
+
+
+def test_multiline_max_bytes_flush(spark):
+    """maxBytes pre-check flush (multilines.go:117-121): the separator
+    is not counted in the availability check, matching the reference."""
+    from loggie_spark.sources.readers import merge_multiline
+
+    # each body is 4 bytes; maxBytes=10: after two lines size=9 (4+1+4),
+    # pre-check for the third: 10 - 4 - 9 <= 0 -> flush first.
+    lines = [("f", i, f"l{i:03d}"[:4]) for i in range(1, 6)]
+    df = spark.createDataFrame(lines, "filename string, line_off long, body string")
+    out = merge_multiline(
+        df, r"^NEVER", offset_col="line_off", max_lines=500, max_bytes=10
+    )
+    got = sorted((r.line_off, r.n_lines) for r in out.collect())
+    assert got == [(1, 2), (3, 2), (5, 1)]

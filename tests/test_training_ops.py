@@ -170,3 +170,53 @@ def test_multimodal_plumbing(spark):
 
     with _pytest.raises(Exception):
         decode_and_featurize(media, strict=True).collect()
+
+
+# -- sequence packing / chunking (operators/packing.py) ---------------------
+
+
+def test_pack_sequences_greedy_no_straddle(spark):
+    """Exact greedy packer: a sequence never splits; a bin flushes when
+    the next sequence would overflow; over-long sequences get their own
+    bin; doc order is preserved within each shard."""
+    from loggie_spark.operators.packing import pack_sequences_greedy
+
+    rows = [
+        (1, "s", 1000),
+        (2, "s", 1000),  # fits with 1 → bin fills to 2000
+        (3, "s", 100),   # 2000+100 > 2048 → new bin
+        (4, "s", 3000),  # longer than max_len → own bin (after flush)
+        (5, "s", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    out = pack_sequences_greedy(df, max_len=2048, n_shards=1).collect()
+    by_id = {r.doc_id: (r.pack_id, r.pack_offset) for r in out}
+    p0 = by_id[1][0]
+    assert by_id[1] == (p0, 0)
+    assert by_id[2] == (p0, 1000)
+    assert by_id[3][0] == p0 + 1 and by_id[3][1] == 0
+    assert by_id[4][0] == p0 + 2 and by_id[4][1] == 0  # own bin
+    assert by_id[5][0] == p0 + 3 and by_id[5][1] == 0  # 4 flushed at >= max
+
+
+def test_chunk_sequences_disjoint_and_tail(spark):
+    from pyspark.sql import functions as F
+
+    from loggie_spark.operators.packing import chunk_sequences
+
+    df = spark.createDataFrame(
+        [(1, list(range(10)))], "doc_id long, tokens array<int>"
+    )
+    out = chunk_sequences(df, max_len=4, stride=4).orderBy("chunk_idx")
+    got = [(r.chunk_idx, r.chunk, r.chunk_len) for r in out.collect()]
+    assert got == [
+        (0, [0, 1, 2, 3], 4),
+        (1, [4, 5, 6, 7], 4),
+        (2, [8, 9], 2),  # ragged tail kept by default
+    ]
+    # drop_last_shorter_than prunes the ragged tail
+    out3 = chunk_sequences(df, max_len=4, stride=4, drop_last_shorter_than=4)
+    assert out3.count() == 2
+    # stride < max_len overlaps; short docs yield one whole-doc chunk
+    out2 = chunk_sequences(df, max_len=20, stride=20).collect()
+    assert len(out2) == 1 and out2[0].chunk_len == 10
