@@ -49,12 +49,21 @@ def encode_text_to_tokens(text: pd.Series) -> pd.Series:
     )
 
 
-def decode_tokens_arrow(df, tokens_col: str = "tokens", out_col: str = "body"):
+def decode_tokens_arrow(
+    df, tokens_col: str = "tokens", out_col: str = "body", keep_tokens: bool = True
+):
     """Zero-loop vectorized decode via ``mapInArrow``: the ListArray's
     int32 value buffer is cast to uint8 and REUSED as the UTF-8 data
     buffer of a new StringArray with the same offsets — no per-row
     Python, no per-row JVM allocation. This is the scale path for the
     parse stage's token→body decode.
+
+    ``keep_tokens=False`` drops the token column from the RETURNED
+    batches: Catalyst cannot prune columns through an opaque
+    mapInArrow node, so a metrics-only job (nothing downstream reads
+    tokens) would otherwise pay the Python→JVM transfer of the fattest
+    column for nothing — ~4x the bytes of the decoded body. Jobs that
+    write routed rows keep it (token-array equality at the sink).
 
     Falls back to the pandas UDF per batch when nulls/slicing break the
     buffer-reuse preconditions (never in the synthetic corpus).
@@ -67,7 +76,8 @@ def decode_tokens_arrow(df, tokens_col: str = "tokens", out_col: str = "body"):
 
     # Fresh StructType: .add() mutates in place, and df.schema is a
     # cached object on the DataFrame — mutating it corrupts resolution.
-    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
+    kept = [f for f in df.schema.fields if keep_tokens or f.name != tokens_col]
+    out_schema = StructType(kept + [StructField(out_col, StringType())])
     idx = df.columns.index(tokens_col)
 
     def decode_batches(batches):
@@ -96,7 +106,11 @@ def decode_tokens_arrow(df, tokens_col: str = "tokens", out_col: str = "body"):
                     ],
                     type=pa.string(),
                 )
-            arrays = [b.column(i) for i in range(b.num_columns)] + [body]
+            arrays = [
+                b.column(i)
+                for i in range(b.num_columns)
+                if keep_tokens or i != idx
+            ] + [body]
             yield pa.RecordBatch.from_arrays(
                 arrays, names=[f.name for f in out_schema.fields]
             )

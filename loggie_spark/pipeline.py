@@ -131,6 +131,11 @@ class PipelineConfig:
     salt: int = 8  # write-skew salt for heavy-hitter routes
     source_col: str = "source"
     decode_tokens: bool = True  # tokens:array<int32> → body:string
+    # keep the token column through the decode hop: required when the
+    # sink writes routed rows (token-array equality invariant); a
+    # metrics-only job sets False — Catalyst can't prune through the
+    # opaque mapInArrow node, and tokens are ~4x the body's bytes.
+    keep_tokens: bool = True
     time_col_name: str | None = None  # deterministic ${+...}; None = now()
 
     def effective_interceptors(self) -> list[dict]:
@@ -156,7 +161,7 @@ class Pipeline:
             # general fallback for pathological inputs.
             from loggie_spark.functions.tokens import decode_tokens_arrow
 
-            df = decode_tokens_arrow(df, "tokens", "body")
+            df = decode_tokens_arrow(df, "tokens", "body", keep_tokens=cfg.keep_tokens)
 
         time_col = F.col(cfg.time_col_name) if cfg.time_col_name else None
 

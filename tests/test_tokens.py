@@ -59,3 +59,19 @@ def test_truncate_utf8(spark):
     assert got["ab€"] == "ab€"
     for r in out:
         assert len(r.t.encode("utf-8")) <= 4 + 3
+
+
+def test_decode_arrow_drop_tokens(spark):
+    """keep_tokens=False: the fat token column is dropped from the
+    returned Arrow batches (Catalyst can't prune through mapInArrow);
+    the decode itself stays identical."""
+    from loggie_spark.datagen import generate_sequences
+    from loggie_spark.functions.tokens import decode_tokens_arrow
+
+    df = generate_sequences(spark, 50, partitions=2)
+    kept = decode_tokens_arrow(df, "tokens", "body", keep_tokens=True)
+    dropped = decode_tokens_arrow(df, "tokens", "body", keep_tokens=False)
+    assert "tokens" in kept.columns and "tokens" not in dropped.columns
+    a = sorted(r.body for r in kept.select("body").collect())
+    b = sorted(r.body for r in dropped.select("body").collect())
+    assert a == b
