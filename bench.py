@@ -95,7 +95,16 @@ def raw_ingest_elapsed(spark) -> tuple[float, float]:
     from loggie_spark.sinks.metrics import sink_metrics
     from loggie_spark.sinks.router import SinkSpec
 
-    seq_path = f"/tmp/loggie_bench_seq_{N_SEQ}"
+    # Sustained-throughput measurement needs the job to dominate fixed
+    # scheduling overhead: use at least 10M rows (~750 MiB decoded).
+    n_raw = max(N_SEQ, 10_000_000)
+    seq_path = f"/tmp/loggie_bench_seq_{n_raw}"
+    if not os.path.isdir(seq_path):
+        from loggie_spark.datagen import generate_sequences
+
+        generate_sequences(spark, n_raw, partitions=CPUS * 2).write.mode(
+            "overwrite"
+        ).parquet(seq_path)
     total_bytes = (
         spark.read.parquet(seq_path).agg(F.sum("n_tok")).collect()[0][0]
     )  # 1 token = 1 UTF-8 byte; untimed column-stat scan

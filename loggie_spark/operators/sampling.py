@@ -1,0 +1,91 @@
+"""Deterministic data-mixing for training pipelines: per-source
+stratified sampling with down- AND up-sampling rates.
+
+A 10^12-sequence corpus is never trained on uniformly — each source
+gets a mix rate (wiki 3.2 epochs, web 0.4, …). Requirements at scale:
+
+* **deterministic** — the same doc_id always makes the same cut, so
+  reruns/backfills/resumes produce identical mixes (no RNG state, no
+  ``rand()`` whose value changes under task retry);
+* **single narrow pass** — rate application is a filter/Generate on
+  the scan, no shuffle;
+* **engine-agnostic** — decisions come from the md5-60bit family
+  (functions/hashing.py), so a DuckDB/Trino oracle reproduces the
+  exact sample.
+
+``rate`` semantics: floor(rate) full copies of every row, plus one
+more copy for the id-hash fraction of rows selected with probability
+``rate - floor(rate)``. rate=0.4 → 40% of rows once; rate=3.2 → every
+row 3 times plus a 20% cohort a 4th time (epoch-style upsampling).
+Copies carry ``mix_epoch`` (0-based) so downstream shuffling/packing
+can interleave epochs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from loggie_spark.functions.hashing import md5_60bit
+
+_SCALE = 1_000_000
+
+
+def _rate_col(rates: dict[str, float], source_col: str, default_rate: float) -> Column:
+    expr = F.lit(float(default_rate))
+    for src, r in rates.items():
+        expr = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(expr)
+    return expr
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Apply per-source mix rates; returns one row per (row, epoch).
+
+    The fractional-cohort test is ``md5_60bit(seed|id) % 1e6 <
+    frac(rate)*1e6`` — uniform, deterministic, reproducible in any
+    engine with md5. Rows with rate<1 keep no guaranteed copy; rates
+    must be non-negative.
+    """
+    if any(r < 0 for r in rates.values()) or default_rate < 0:
+        raise ValueError("mix rates must be non-negative")
+    rate = _rate_col(rates, source_col, default_rate)
+    h = md5_60bit(F.col(id_col).cast("string"), seed=seed) % _SCALE
+    n_copies = F.floor(rate).cast("int") + F.when(
+        h < ((rate - F.floor(rate)) * _SCALE).cast("long"), 1
+    ).otherwise(0)
+    return (
+        df.withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn("mix_epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
+def sample_rates_sql(
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 1.0,
+    seed: int = 0,
+) -> str:
+    """DuckDB fragment reproducing :func:`stratified_sample`'s
+    (n_copies) expression — for oracle queries and cross-engine
+    audits."""
+    from loggie_spark.functions.hashing import md5_60bit_sql
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN {float(r)!r}" for s, r in rates.items()
+    )
+    rate = f"(CASE {source_col} {cases} ELSE {float(default_rate)!r} END)"
+    h = f"({md5_60bit_sql(f'CAST({id_col} AS VARCHAR)', seed=seed)} % {_SCALE})"
+    return (
+        f"(CAST(floor({rate}) AS INTEGER) + CASE WHEN {h} < "
+        f"CAST(({rate} - floor({rate})) * {_SCALE} AS BIGINT) THEN 1 ELSE 0 END)"
+    )

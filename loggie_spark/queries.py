@@ -1609,3 +1609,32 @@ def td_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     out = pack_sequences_binned(docs, len_col="n_chars", max_len=2048)
     return out.select("doc_id", "source", "pack_id", "pack_offset")
+
+
+def _sample_mix_oracle() -> str:
+    from loggie_spark.operators.sampling import sample_rates_sql
+
+    n_expr = sample_rates_sql(
+        {"src0": 3.2, "src1": 0.4, "src2": 0.0}, default_rate=1.0, seed=7
+    )
+    return f"""
+    WITH n AS (SELECT doc_id, source, {n_expr} AS n FROM documents)
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(0, n - 1)) AS INTEGER) AS mix_epoch
+    FROM n WHERE n > 0
+    """
+
+
+@register("td_sample_mix", oracle=_sample_mix_oracle())
+def td_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling: per-source epoch rates
+    (3.2 = upsample, 0.4 = downsample, 0 = exclude) decided by the
+    engine-agnostic md5 family — a single narrow Generate, identical
+    mix on rerun/resume/other engines."""
+    from loggie_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, {"src0": 3.2, "src1": 0.4, "src2": 0.0}, default_rate=1.0, seed=7
+    )
+    return out.select("doc_id", "source", F.col("mix_epoch").cast("int").alias("mix_epoch"))

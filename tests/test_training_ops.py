@@ -220,3 +220,26 @@ def test_chunk_sequences_disjoint_and_tail(spark):
     # stride < max_len overlaps; short docs yield one whole-doc chunk
     out2 = chunk_sequences(df, max_len=20, stride=20).collect()
     assert len(out2) == 1 and out2[0].chunk_len == 10
+
+
+def test_stratified_sample_rates(spark):
+    """Deterministic mix: rate 0 excludes, integer rates give exact
+    copy counts, fractional cohort is stable across calls."""
+    from loggie_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(200)],
+        "doc_id long, source string",
+    )
+    out = stratified_sample(df, {"a": 2.0, "b": 0.0}).collect()
+    assert all(r.source == "a" for r in out)
+    assert len(out) == 200  # 100 'a' rows x 2 epochs
+    assert {r.mix_epoch for r in out} == {0, 1}
+    # determinism: identical result on re-run
+    again = stratified_sample(df, {"a": 2.0, "b": 0.0}).collect()
+    assert sorted((r.doc_id, r.mix_epoch) for r in out) == sorted(
+        (r.doc_id, r.mix_epoch) for r in again
+    )
+    # fractional rate lands near its expectation (hash-uniform)
+    frac = stratified_sample(df, {"a": 0.5, "b": 0.5}).count()
+    assert 60 <= frac <= 140
