@@ -159,6 +159,21 @@ def explode_to_sinks(
                 else F.lit("")
             )
             route = F.concat(rendezvous_dir(hash_key, s.base_dirs), route)
+        if len(sinks) == 1:
+            # Fast path — one sink is the reference's own shape (an
+            # event has exactly one sink per pipeline): plain column
+            # projection, no Generate in the plan. A 'drop'-policy or
+            # selector miss is a filter instead of an empty array.
+            out = df
+            if s.selector is not None or s.on_render_fail == "drop":
+                out = out.filter(emit)
+            return (
+                out.withColumn(SINK_COL, F.lit(s.name))
+                .withColumn(ROUTE_COL, route)
+                .withColumn(FAILED_COL, failed)
+                .withColumn(PKEY_COL, pkey)
+                .withColumn(DOCID_COL, doc_id)
+            )
         entry = F.when(
             emit,
             F.struct(
