@@ -1638,3 +1638,45 @@ def td_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, {"src0": 3.2, "src1": 0.4, "src2": 0.0}, default_rate=1.0, seed=7
     )
     return out.select("doc_id", "source", F.col("mix_epoch").cast("int").alias("mix_epoch"))
+
+
+# ===========================================================================
+# pl_arrow_ingest — in-task pyarrow ingest reader (sources/arrow_reader.py)
+# ===========================================================================
+
+
+@register(
+    "pl_arrow_ingest",
+    oracle="""
+    SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+           source,
+           CAST(length(text) AS INTEGER) AS n_tok,
+           md5(text) AS body_hash
+    FROM documents
+    """,
+)
+def pl_arrow_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certify the in-task pyarrow ingest reader end-to-end: documents
+    → tokenized sequences parquet → read_sequences_arrow (row-group
+    tasks, in-task token→body decode, no JVM→Python token transfer) →
+    md5(body) — DuckDB reproduces the hash from the original text, so
+    a single corrupted byte anywhere in the encode/write/read/decode
+    chain fails the row (loggie parallel: file source reader pool,
+    pkg/source/file/read.go)."""
+    import hashlib
+
+    from loggie_spark.datagen import sequences_from_documents
+    from loggie_spark.sources.arrow_reader import read_sequences_arrow
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/loggie_arrow_ingest_{key}"
+    sequences_from_documents(_t(spark, sf_dir, "documents")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    seq = read_sequences_arrow(spark, path)
+    return seq.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        F.md5(F.encode(F.col("body"), "utf-8")).alias("body_hash"),
+    )
