@@ -78,7 +78,14 @@ def read_sequences_arrow(
         for b in batches:
             for f, rg in zip(b.column(0).to_pylist(), b.column(1).to_pylist()):
                 cols = ["doc_id", "n_tok", "source", "tokens"]
-                tbl = pq.ParquetFile(f).read_row_group(rg, columns=cols)
+                # use_threads=False: Spark already runs one reader per
+                # core slot; pyarrow's own pool (ncpus threads PER
+                # worker) would put ~cores² runnable threads on the box
+                # (measured: the whole stage stops scaling past 8 cores
+                # until this is pinned).
+                tbl = pq.ParquetFile(f).read_row_group(
+                    rg, columns=cols, use_threads=False
+                )
                 for chunk_tbl in tbl.to_batches():
                     gi = chunk_tbl.schema.get_field_index
                     col = chunk_tbl.column(gi("tokens"))

@@ -34,22 +34,42 @@ from loggie_spark.sinks.metrics import sink_metrics
 
 cpus = int(sys.argv[1]); n = int(sys.argv[2]); path = sys.argv[3]
 warmups = int(sys.argv[4]); passes = int(sys.argv[5])
+job = sys.argv[6] if len(sys.argv) > 6 else "flagship"
 spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
 spark.sparkContext.setLogLevel("ERROR")
 import os
 if not os.path.isdir(path):
     generate_sequences(spark, n, partitions=64).write.mode("overwrite").parquet(path)
-cfg = reference_pipeline(time_col_name="_ptime")
-pipe = Pipeline(cfg)
 
-def once():
-    t0 = time.monotonic()
-    seq = spark.read.parquet(path).withColumn(
-        "_ptime", F.lit("2024-03-01 00:00:00").cast("timestamp"))
-    routed = pipe.transform(seq)
-    rows = sink_metrics(routed, cfg.name).collect()
-    assert rows
-    return time.monotonic() - t0
+if job == "raw":
+    # Zero-parse ingest: in-task pyarrow read+decode -> one-sink route
+    # -> exact counts (the reference-210-MiB/s-comparable job).
+    from loggie_spark.pipeline import PipelineConfig, SourceSpec
+    from loggie_spark.sinks.router import SinkSpec
+    from loggie_spark.sources.arrow_reader import read_sequences_arrow
+
+    cfg = PipelineConfig(name="raw", sources=[SourceSpec("all")],
+                         sinks=[SinkSpec("kafka", "${source}")], keep_tokens=False)
+    pipe = Pipeline(cfg)
+
+    def once():
+        t0 = time.monotonic()
+        seq = read_sequences_arrow(spark, path, parallelism=cpus)
+        rows = sink_metrics(pipe.transform(seq), cfg.name).collect()
+        assert rows
+        return time.monotonic() - t0
+else:
+    cfg = reference_pipeline(time_col_name="_ptime")
+    pipe = Pipeline(cfg)
+
+    def once():
+        t0 = time.monotonic()
+        seq = spark.read.parquet(path).withColumn(
+            "_ptime", F.lit("2024-03-01 00:00:00").cast("timestamp"))
+        routed = pipe.transform(seq)
+        rows = sink_metrics(routed, cfg.name).collect()
+        assert rows
+        return time.monotonic() - t0
 
 # Generated-code JIT needs ~2 full passes to reach steady state
 # (observed: 92s -> 61s -> 22s on identical input); 3 warmups, then
@@ -62,7 +82,7 @@ spark.stop()
 """
 
 
-def run_round(cpus: int, n: int, path: str, warmups: int = 3, passes: int = 5) -> float:
+def run_round(cpus: int, n: int, path: str, warmups: int = 3, passes: int = 5, job: str = "flagship") -> float:
     # Pin the whole process tree (JVM task threads, GC/JIT threads,
     # python workers) to exactly `cpus` CPUs — otherwise the "N-core"
     # level borrows idle cores for GC and Arrow workers and the
@@ -70,7 +90,7 @@ def run_round(cpus: int, n: int, path: str, warmups: int = 3, passes: int = 5) -
     # N-core executor has no spare cores to borrow).
     out = subprocess.run(
         ["taskset", "-c", f"0-{cpus - 1}", sys.executable, "-c", WORKER,
-         str(cpus), str(n), path, str(warmups), str(passes)],
+         str(cpus), str(n), path, str(warmups), str(passes), job],
         capture_output=True,
         text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
@@ -88,18 +108,19 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=4)
     ap.add_argument("--warmups", type=int, default=3)
     ap.add_argument("--passes", type=int, default=5)
+    ap.add_argument("--job", choices=["flagship", "raw"], default="flagship")
     args = ap.parse_args()
 
     path = f"/tmp/loggie_bench_seq_{args.n_seq}"
-    lo_times = run_round(args.base_cores, args.n_seq, path, args.warmups, args.passes)
+    lo_times = run_round(args.base_cores, args.n_seq, path, args.warmups, args.passes, args.job)
     print(f"{args.base_cores}c: {lo_times}", file=sys.stderr)
-    hi_times = run_round(args.base_cores * 4, args.n_seq, path, args.warmups, args.passes)
+    hi_times = run_round(args.base_cores * 4, args.n_seq, path, args.warmups, args.passes, args.job)
     print(f"{args.base_cores * 4}c: {hi_times}", file=sys.stderr)
 
     lo, hi = min(lo_times), min(hi_times)
     thr_lo, thr_hi = args.n_seq / lo, args.n_seq / hi
     result = {
-        "job": "flagship parse->enrich->route->aggregate",
+        "job": ("raw ingest: pyarrow in-task read+decode -> route -> exact counts" if args.job == "raw" else "flagship parse->enrich->route->aggregate"),
         "n_seq": args.n_seq,
         "protocol": f"one JVM per level, {args.warmups} JIT-warmup passes + {args.passes} measured; min over passes (shared host with minute-scale CPU-steal noise)",
         "levels": [
@@ -119,7 +140,8 @@ def main() -> None:
         "scaling_efficiency_N_to_4N": round((thr_hi / thr_lo) / 4.0, 3),
     }
     print(json.dumps(result, indent=2))
-    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.json")
+    suffix = "_RAW" if args.job == "raw" else ""
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_SCALING{suffix}.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 
