@@ -1680,3 +1680,52 @@ def pl_arrow_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         F.md5(F.encode(F.col("body"), "utf-8")).alias("body_hash"),
     )
+
+
+# ===========================================================================
+# pl_error_policy — per-action error policies drive the program gate
+# ===========================================================================
+
+
+@register(
+    "pl_error_policy",
+    oracle="""
+    WITH pre AS (
+      SELECT event_id,
+             CASE WHEN event_id % 3 = 0
+                  THEN CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                  ELSE event_type END AS s
+      FROM events
+    )
+    SELECT event_id,
+           TRY_CAST(s AS DOUBLE) AS s,
+           CASE WHEN TRY_CAST(s AS DOUBLE) IS NOT NULL
+                THEN 'ok' ELSE NULL END AS tag
+    FROM pre
+    """,
+)
+def pl_error_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Default per-action error policy end-to-end (action.go:110-128 +
+    Actions.Exec, actions.go:56-63): a failing ``strconv`` without
+    ignoreError/dropIfError ABORTS the remaining program for that row
+    and the event forwards as-is — so the later ``add(tag, ok)`` must
+    not fire on errored rows. DuckDB reproduces both the try-cast
+    result and the gate."""
+    ev = _t(spark, sf_dir, "events")
+    pre = ev.select(
+        "event_id",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.floor("value").cast("long").cast("string"),
+        )
+        .otherwise(F.col("event_type"))
+        .alias("s"),
+    )
+    out = apply_program(
+        pre,
+        [
+            {"action": "strconv(s, float)"},
+            {"action": "add(tag, ok)"},
+        ],
+    ).finish()
+    return out.select("event_id", "s", "tag")
