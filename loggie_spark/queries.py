@@ -1729,3 +1729,59 @@ def pl_error_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).finish()
     return out.select("event_id", "s", "tag")
+
+
+# ===========================================================================
+# td_curation_pipeline — the end-to-end training-data curation pass
+# ===========================================================================
+
+
+@register(
+    "td_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len({_WORDS_SQL}) AS n_words,
+             round(0.4 * least(CAST(len({_WORDS_SQL}) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN len({_WORDS_SQL}) > 0
+                          THEN CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+                               / len({_WORDS_SQL}) ELSE 0.0 END)
+                 + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+                          THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                               / length(text) ELSE 0.0 END)), 4) AS q
+      FROM documents
+    ),
+    filtered AS (SELECT * FROM scored WHERE q >= 0.5),
+    keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text)
+    SELECT f.source,
+           COUNT(*) AS kept_docs,
+           CAST(SUM(f.n_words) AS BIGINT) AS total_words,
+           round(AVG(f.q), 2) AS avg_quality
+    FROM filtered f JOIN keep k ON f.doc_id = k.doc_id
+    GROUP BY f.source
+    """,
+)
+def td_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass a training-data pipeline runs nightly,
+    as ONE plan: quality-score filter → exact dedup (digest groupBy —
+    the shuffle moves 64-byte digests, never documents) → id semi-join
+    → per-source corpus stats. Certifies that the individually-oracled
+    operators compose without drift."""
+    from loggie_spark.operators.dedup import dedup_exact
+    from loggie_spark.operators.textstats import quality_score, token_count_ws
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        token_count_ws(F.col("text")).alias("n_words"),
+        F.round(quality_score(F.col("text")), 4).alias("q"),
+    ).filter(F.col("q") >= 0.5)
+    keep = dedup_exact(scored)
+    kept = scored.join(keep, "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.round(F.avg("q"), 2).alias("avg_quality"),
+    )
