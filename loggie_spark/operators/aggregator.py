@@ -40,6 +40,7 @@ def aggregate(
     calculate: list[tuple[str, str]] | None = None,
     window: tuple[str, str] | None = None,
     round_to: int | None = None,
+    approx_distinct_rsd: float | None = None,
 ) -> DataFrame:
     """Run the aggregator program.
 
@@ -48,6 +49,12 @@ def aggregate(
     window: (time_col, duration) — event-time tumbling window standing
     in for the wall-clock ``interval``.
     round_to: round float aggregates on both engine and oracle side.
+    approx_distinct_rsd: when set, COUNT-DISTINCT runs as
+    HyperLogLog++ (``approx_count_distinct``) with that relative
+    error — the 100 TB path: exact distinct keeps every key in the
+    aggregation hash map and spills, HLL is a fixed few-KB sketch per
+    group that partial-aggregates map-side like everything else.
+    Leave None (exact) for tests/oracles.
     """
     keys: list[Column] = [F.col(k) for k in group_by]
     if window is not None:
@@ -60,7 +67,10 @@ def aggregate(
     for op, fld, alias in select:
         if op not in _OPS:
             raise KeyError(f"unknown aggregator operator: {op}")
-        aggs.append(_OPS[op](fld).alias(alias))
+        if op == "COUNT-DISTINCT" and approx_distinct_rsd is not None:
+            aggs.append(F.approx_count_distinct(fld, approx_distinct_rsd).alias(alias))
+        else:
+            aggs.append(_OPS[op](fld).alias(alias))
         if op in float_ops:
             float_aliases.append(alias)
 

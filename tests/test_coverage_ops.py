@@ -249,3 +249,26 @@ def test_multiline_max_bytes_flush(spark):
     )
     got = sorted((r.line_off, r.n_lines) for r in out.collect())
     assert got == [(1, 2), (3, 2), (5, 1)]
+
+
+def test_aggregator_approx_distinct(spark):
+    """The 100 TB COUNT-DISTINCT path: HLL++ sketch instead of exact
+    key set. rsd=0.02 must land within 5% of truth on 5k distinct
+    keys, and the exact path must be untouched by the new flag."""
+    from pyspark.sql import functions as F
+
+    from loggie_spark.operators.aggregator import aggregate
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 4).cast("string").alias("g"),
+        (F.col("id") % 5_000).cast("string").alias("user"),
+    )
+    select = [("COUNT-DISTINCT", "user", "users"), ("COUNT", "user", "n")]
+    exact = {r.g: r.users for r in aggregate(df, ["g"], select).collect()}
+    assert exact == {"0": 1250, "1": 1250, "2": 1250, "3": 1250}
+    approx = {
+        r.g: r.users
+        for r in aggregate(df, ["g"], select, approx_distinct_rsd=0.02).collect()
+    }
+    for g, truth in exact.items():
+        assert abs(approx[g] - truth) / truth < 0.05, (g, approx[g], truth)
