@@ -1767,21 +1767,26 @@ def td_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle moves 64-byte digests, never documents) → id semi-join
     → per-source corpus stats. Certifies that the individually-oracled
     operators compose without drift."""
-    from loggie_spark.operators.dedup import dedup_exact
     from loggie_spark.operators.textstats import quality_score, token_count_ws
 
     docs = _t(spark, sf_dir, "documents")
     scored = docs.select(
         "doc_id",
         "source",
-        "text",
+        F.sha2(F.col("text"), 256).alias("_digest"),
         token_count_ws(F.col("text")).alias("n_words"),
         F.round(quality_score(F.col("text")), 4).alias("q"),
     ).filter(F.col("q") >= 0.5)
-    keep = dedup_exact(scored)
-    kept = scored.join(keep, "doc_id")
-    return kept.groupBy("source").agg(
+    # min_by carries the kept row's stats THROUGH the dedup groupBy, so
+    # there is no join-back at all: exactly two shuffles total (digest
+    # dedup, then the tiny per-source rollup), and the shuffle rows are
+    # (digest, 3 scalars) — never documents. A join-back would AQE-
+    # broadcast at test SF but become a sort-merge join at 100 TB.
+    kept = scored.groupBy("_digest").agg(
+        F.min_by(F.struct("source", "n_words", "q"), F.col("doc_id")).alias("r")
+    )
+    return kept.groupBy(F.col("r.source").alias("source")).agg(
         F.count(F.lit(1)).alias("kept_docs"),
-        F.sum("n_words").cast("long").alias("total_words"),
-        F.round(F.avg("q"), 2).alias("avg_quality"),
+        F.sum("r.n_words").cast("long").alias("total_words"),
+        F.round(F.avg("r.q"), 2).alias("avg_quality"),
     )
