@@ -521,3 +521,73 @@ def embedding_lsh_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos", "n_bands")
     )
+
+
+# ---------------------------------------------------------------------------
+# dup-pair clustering (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a dup-pair edge list — the step that
+    turns pairwise near-dup hits (minhash / simhash / jaccard /
+    embedding pairs) into KEEP/DROP decisions: every doc in a connected
+    component gets the component's min doc id as ``cluster_id``, and
+    the canonical survivor is the row where ``doc_id == cluster_id``.
+
+    Hash-min label propagation: each round, every node's label drops to
+    the min label among itself and its neighbors; converges in
+    O(component diameter) rounds (near-dup clusters are shallow — a
+    handful of hops), detected by a cheap changed-row probe. 100 TB
+    shape: only (node, label) scalar pairs and the symmetrized edge
+    list ever shuffle; ``localCheckpoint`` truncates the iterative
+    lineage so plans stay flat; edges are computed once and cached.
+    Output covers only nodes that appear in ``pairs`` — singleton docs
+    have no cluster row (they are trivially their own survivor).
+
+    Returns (doc_id, cluster_id).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )

@@ -689,6 +689,50 @@ def td_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "td_dup_clusters",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct(list_filter(string_split(lower(text), ' '),
+             w -> w <> '')) AS wset,
+             array_to_string(list_filter(string_split(lower(text), ' '),
+             w -> w <> '')[1:2], ' ') AS block
+      FROM documents
+    ),
+    pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM toks l JOIN toks r ON l.block = r.block AND l.doc_id < r.doc_id
+      WHERE round(CAST(len(list_intersect(l.wset, r.wset)) AS DOUBLE) /
+                  len(list_distinct(l.wset || r.wset)), 4) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    """,
+)
+def td_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → connected components → cluster assignment: the KEEP/DROP
+    step of the near-dup flow (survivor = doc_id == cluster_id). The
+    oracle computes the same components via transitive closure
+    (recursive CTE); Spark uses O(diameter)-round hash-min label
+    propagation (dedup.dup_clusters) — the closure itself would be
+    quadratic at scale."""
+    from loggie_spark.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), block_words=2, threshold=0.5
+    )
+    return dup_clusters(pairs)
+
+
 _COS_SQL = """
     round(
       list_sum([CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)

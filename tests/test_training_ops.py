@@ -243,3 +243,20 @@ def test_stratified_sample_rates(spark):
     # fractional rate lands near its expectation (hash-uniform)
     frac = stratified_sample(df, {"a": 0.5, "b": 0.5}).count()
     assert 60 <= frac <= 140
+
+
+def test_dup_clusters_chain_and_islands(spark):
+    """A 4-node chain (1-2, 2-3, 3-4) needs >1 propagation round to
+    converge; two islands must not merge; singleton docs never appear."""
+    from loggie_spark.operators.dedup import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            Row(id_a=1, id_b=2),
+            Row(id_a=2, id_b=3),
+            Row(id_a=3, id_b=4),
+            Row(id_a=10, id_b=11),
+        ]
+    )
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
