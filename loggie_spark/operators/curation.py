@@ -1,0 +1,107 @@
+"""Training-data curation operators beyond dedup: benchmark
+decontamination and PII redaction.
+
+Both are standard steps in large-scale LLM data pipelines (the
+reference engine has no analog — these extend the training-data
+surface the same way dedup/similarity do). Everything stays JVM-side
+Catalyst: tokenize/shingle with built-in array functions, match with a
+broadcast semi-join, redact with regexp_replace chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from loggie_spark.operators.dedup import tokenize, word_ngrams
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training docs that share any word ``n``-gram with a
+    benchmark/test set (GPT-3-style 13-gram decontamination).
+
+    100 TB shape: the benchmark side is small by construction (eval
+    sets are thousands of rows, not billions), so its distinct n-gram
+    set is BROADCAST; the corpus side explodes its n-grams and
+    LEFT SEMI joins — the corpus is never shuffled on data, only a
+    narrow (id, gram) stream meets a broadcast hash table, and the
+    semi-join stops at the first matching gram per row group. Docs
+    shorter than ``n`` words contribute their whole text as a single
+    shingle (word_ngrams' short-doc branch), so an exact short-doc
+    match still counts as contamination.
+
+    Returns (id_col, contaminated:boolean) for every doc.
+    """
+    grams = lambda c: word_ngrams(tokenize(F.col(c)), n)  # noqa: E731
+    bench_grams = (
+        benchmark.select(F.explode(grams(bench_text_col)).alias("gram")).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(grams(text_col)).alias("gram")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col, F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Deliberately conservative, engine-portable patterns (no lookaround —
+# must run identically under Java regex and any SQL engine's RE2-style
+# matcher). Order matters: emails before bare domains would, IPs before
+# bare number runs.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Mask PII spans in ``text`` with typed placeholders.
+
+    A chain of ``regexp_replace`` — whole-stage-codegen resident, one
+    pass per pattern over the string, zero Python. ``kinds`` subsets
+    ``PII_PATTERNS`` by name (default: all, in declaration order).
+    """
+    out = text
+    for name, pat, repl in PII_PATTERNS:
+        if kinds is not None and name not in kinds:
+            continue
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII hit counts per kind + the redacted text — the audit
+    frame a curation pass writes next to the cleaned corpus."""
+    cols = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"n_{name}"
+        )
+        for name, pat, _ in PII_PATTERNS
+    ]
+    return df.select(
+        "*", *cols, redact_pii(F.col(text_col)).alias("redacted")
+    )

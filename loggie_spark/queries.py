@@ -733,6 +733,79 @@ def td_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_clusters(pairs)
 
 
+_DECON_N = 5  # n-gram width (sf docs avg ~54 words; GPT-3 used 13 on web text)
+
+
+def _decon_oracle(n: int = _DECON_N) -> str:
+    return f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= {n}
+        THEN [array_to_string(w[i:i+{n - 1}], ' ')
+              for i in generate_series(1, len(w) - {n - 1})]
+        ELSE [array_to_string(w, ' ')] END) AS gram
+      FROM words
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram))
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """
+
+
+@register("td_decontaminate", oracle=_decon_oracle())
+def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    n-gram with the benchmark subset (docs with doc_id % 97 == 0 stand
+    in for an eval set). Benchmark grams are broadcast; the corpus side
+    is a left-semi join — the corpus never shuffles."""
+    from loggie_spark.operators.curation import contamination_flags
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, bench, n=_DECON_N)
+
+
+_PII_LINE = (
+    "concat('uid ', CAST(user_id AS {str_t}), ' mail u', "
+    "CAST(user_id AS {str_t}), '@example.com ip 10.0.', "
+    "CAST(user_id % 250 AS {str_t}), '.', CAST(user_id % 199 AS {str_t}), "
+    "' ssn 123-45-6789 tel +1 555 0100 123 end')"
+)
+
+
+def _pii_oracle() -> str:
+    from loggie_spark.operators.curation import PII_PATTERNS
+
+    line = _PII_LINE.format(str_t="VARCHAR")
+    counts = ", ".join(
+        f"len(regexp_extract_all({line}, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS
+    )
+    redacted = line
+    for _, pat, repl in PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '{repl}', 'g')"
+    return f"SELECT event_id, {counts}, {redacted} AS redacted FROM events"
+
+
+@register("td_pii_redact", oracle=_pii_oracle())
+def td_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over a synthesized log line (events carry no real
+    PII, so the line embeds an email/IP/SSN/phone deterministically);
+    pii_stats counts hits per kind and emits the redacted text — the
+    whole chain is regexp_replace/extract_all in codegen, zero Python.
+    The oracle replays the identical pattern list in DuckDB."""
+    from loggie_spark.operators.curation import pii_stats
+
+    ev = _t(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id", F.expr(_PII_LINE.format(str_t="STRING")).alias("text")
+    )
+    return pii_stats(df).select(
+        "event_id", "n_email", "n_ipv4", "n_phone", "n_ssn", "redacted"
+    )
+
+
 _COS_SQL = """
     round(
       list_sum([CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)

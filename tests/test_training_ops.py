@@ -260,3 +260,34 @@ def test_dup_clusters_chain_and_islands(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from loggie_spark.operators.curation import contamination_flags
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="unrelated words entirely here folks okay"),
+            Row(doc_id=3, text="xx alpha beta gamma delta epsilon yy"),
+        ]
+    )
+    bench = docs.filter("doc_id = 1")
+    got = {
+        r.doc_id: r.contaminated
+        for r in contamination_flags(docs, bench, n=5).collect()
+    }
+    # 1 matches itself; 3 shares the 5-gram "alpha beta gamma delta epsilon"
+    assert got == {1: True, 2: False, 3: True}
+
+
+def test_redact_pii_masks_all_kinds(spark):
+    from loggie_spark.operators.curation import pii_stats
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="mail a.b+c@x.io ip 10.1.2.3 ssn 123-45-6789 "
+                            "tel +44 20 7946 0958 clean 1.2 done")]
+    )
+    row = pii_stats(df).collect()[0]
+    assert (row.n_email, row.n_ipv4, row.n_ssn, row.n_phone) == (1, 1, 1, 1)
+    assert row.redacted == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE> clean 1.2 done"
