@@ -111,3 +111,49 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint_md5(t),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# repetition / diversity signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def dup_word_fraction(text: Column) -> Column:
+    """Fraction of word occurrences that are repeats (Gopher's
+    duplicate-fraction family): 1 - distinct/total. High values mark
+    boilerplate/spam that per-doc dedup misses."""
+    words = tokenize(text)
+    n = F.size(words)
+    return F.when(
+        n > 0, F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_word_fraction(text: Column) -> Column:
+    """Share of the single most frequent word — catches keyword-stuffed
+    and template pages. O(distinct·n) per row, all inside codegen."""
+    words = tokenize(text)
+    n = F.size(words)
+    counts = F.transform(
+        F.array_distinct(words),
+        lambda d: F.size(F.filter(words, lambda x: x == d)),
+    )
+    return F.when(n > 0, F.array_max(counts).cast("double") / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def word_entropy(text: Column) -> Column:
+    """Shannon entropy (bits) of the word distribution — low entropy =
+    repetitive/degenerate text. abs() clamps IEEE -0.0 on single-word
+    docs so both engines render 0.0."""
+    words = tokenize(text)
+    n = F.size(words)
+    probs = F.transform(
+        F.array_distinct(words),
+        lambda d: F.size(F.filter(words, lambda x: x == d)).cast("double") / n,
+    )
+    ent = -F.aggregate(
+        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
+    )
+    return F.when(n > 0, F.abs(ent)).otherwise(F.lit(0.0))

@@ -766,6 +766,43 @@ def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench, n=_DECON_N)
 
 
+_REP_SQL = """
+    WITH t AS (SELECT doc_id, {words} AS w FROM documents),
+    s AS (SELECT doc_id, w, len(w) AS n, list_distinct(w) AS d FROM t)
+    SELECT doc_id,
+      round(CASE WHEN n > 0 THEN 1 - CAST(len(d) AS DOUBLE) / n
+            ELSE 0 END, 4) AS dup_word_frac,
+      round(CASE WHEN n > 0 THEN CAST(list_max(list_transform(d,
+            x -> len(list_filter(w, y -> y = x)))) AS DOUBLE) / n
+            ELSE 0 END, 4) AS top_word_frac,
+      abs(round(CASE WHEN n > 0 THEN -list_sum(list_transform(d,
+            x -> (CAST(len(list_filter(w, y -> y = x)) AS DOUBLE) / n)
+                 * log2(CAST(len(list_filter(w, y -> y = x)) AS DOUBLE) / n)))
+            ELSE 0 END, 4)) AS word_entropy
+    FROM s
+    """
+
+
+@register("td_repetition", oracle=_REP_SQL.format(words=_WORDS_SQL))
+def td_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity signals — duplicate-word
+    fraction, top-word share, word-distribution entropy — one narrow
+    codegen pass, no shuffle."""
+    from loggie_spark.operators.textstats import (
+        dup_word_fraction,
+        top_word_fraction,
+        word_entropy,
+    )
+
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(dup_word_fraction(t), 4).alias("dup_word_frac"),
+        F.round(top_word_fraction(t), 4).alias("top_word_frac"),
+        F.abs(F.round(word_entropy(t), 4)).alias("word_entropy"),
+    )
+
+
 _PII_LINE = (
     "concat('uid ', CAST(user_id AS {str_t}), ' mail u', "
     "CAST(user_id AS {str_t}), '@example.com ip 10.0.', "

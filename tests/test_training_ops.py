@@ -291,3 +291,35 @@ def test_redact_pii_masks_all_kinds(spark):
     row = pii_stats(df).collect()[0]
     assert (row.n_email, row.n_ipv4, row.n_ssn, row.n_phone) == (1, 1, 1, 1)
     assert row.redacted == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE> clean 1.2 done"
+
+
+def test_repetition_signals_edges(spark):
+    from loggie_spark.operators.textstats import (
+        dup_word_fraction,
+        top_word_fraction,
+        word_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam"),
+            Row(doc_id=2, text="four distinct words here"),
+            Row(doc_id=3, text="solo"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    t = F.col("text")
+    got = {
+        r.doc_id: (r.dup, r.top, r.ent)
+        for r in df.select(
+            "doc_id",
+            dup_word_fraction(t).alias("dup"),
+            top_word_fraction(t).alias("top"),
+            word_entropy(t).alias("ent"),
+        ).collect()
+    }
+    assert got[1] == (0.75, 1.0, 0.0)
+    assert got[2] == (0.0, 0.25, 2.0)
+    assert got[3] == (0.0, 1.0, 0.0)
+    assert str(got[3][2]) == "0.0"  # -0.0 clamped
+    assert got[4] == (0.0, 0.0, 0.0)
