@@ -1915,6 +1915,95 @@ def pl_error_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY f.source
     """,
 )
+@register(
+    "td_curation_v2",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= {_DECON_N}
+        THEN [array_to_string(w[i:i+{_DECON_N - 1}], ' ')
+              for i in generate_series(1, len(w) - {_DECON_N - 1})]
+        ELSE [array_to_string(w, ' ')] END) AS gram
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)),
+    scored AS (
+      SELECT d.doc_id, d.source, d.text,
+             len({_WORDS_SQL}) AS n_words,
+             round(0.4 * least(CAST(len({_WORDS_SQL}) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN len({_WORDS_SQL}) > 0
+                          THEN CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+                               / len({_WORDS_SQL}) ELSE 0.0 END)
+                 + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+                          THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                               / length(text) ELSE 0.0 END)), 4) AS q,
+             round(CASE WHEN len({_WORDS_SQL}) > 0
+                   THEN 1 - CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+                        / len({_WORDS_SQL}) ELSE 0 END, 4) AS rep
+      FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)
+    ),
+    filtered AS (SELECT * FROM scored WHERE q >= 0.5 AND rep <= 0.3),
+    keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text)
+    SELECT f.source,
+           COUNT(*) AS kept_docs,
+           CAST(SUM(f.n_words) AS BIGINT) AS total_words
+    FROM filtered f JOIN keep k ON f.doc_id = k.doc_id
+    GROUP BY f.source
+    """,
+)
+def td_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pass v2 — the round-2 operators composed into the
+    nightly plan: benchmark DECONTAMINATION (broadcast-gram anti-join,
+    the corpus side never shuffles) → quality + REPETITION gates (one
+    narrow codegen projection) → exact dedup via min_by (shuffles
+    (digest, scalars) only) → per-source stats. One plan, two data
+    shuffles, same shape at 100 TB."""
+    from loggie_spark.operators.curation import contamination_flags
+    from loggie_spark.operators.dedup import tokenize, word_ngrams
+    from loggie_spark.operators.textstats import (
+        dup_word_fraction,
+        quality_score,
+        token_count_ws,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(word_ngrams(tokenize(F.col("text")), _DECON_N)).alias("gram"),
+    )
+    hits = (
+        grams(docs)
+        .join(
+            F.broadcast(grams(bench).select("gram").distinct()), "gram", "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    # hits is contamination-rate-sized (usually tiny → AQE broadcasts
+    # it); no explicit hint, so a pathological corpus-wide hit set
+    # degrades to a safe shuffle anti-join instead of an OOM.
+    clean = docs.join(hits, "doc_id", "left_anti")
+    t = F.col("text")
+    scored = clean.select(
+        "doc_id",
+        "source",
+        F.sha2(t, 256).alias("_digest"),
+        token_count_ws(t).alias("n_words"),
+        F.round(quality_score(t), 4).alias("q"),
+        F.round(dup_word_fraction(t), 4).alias("rep"),
+    ).filter((F.col("q") >= 0.5) & (F.col("rep") <= 0.3))
+    kept = scored.groupBy("_digest").agg(
+        F.min_by(F.struct("source", "n_words"), F.col("doc_id")).alias("r")
+    )
+    return kept.groupBy(F.col("r.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("r.n_words").cast("long").alias("total_words"),
+    )
+
+
 def td_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pass a training-data pipeline runs nightly,
     as ONE plan: quality-score filter → exact dedup (digest groupBy —
