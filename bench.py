@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "td_dedup_simhash",
     "td_sim_topk_brute",
     "td_token_counts",
+    "td_dup_clusters",
+    "td_curation_v2",
 ]
 
 
