@@ -1659,7 +1659,7 @@ def pl_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'definj' AS pipeline, source, 'k' AS sink,
            count(*) AS success_count,
-           sum(least(octet_length(encode(text)), 64)) AS trunc_bytes
+           CAST(sum(least(octet_length(encode(text)), 64)) AS BIGINT) AS trunc_bytes
     FROM documents GROUP BY source
     """,
 )
@@ -1891,31 +1891,6 @@ def pl_error_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "td_curation_pipeline",
-    oracle=f"""
-    WITH scored AS (
-      SELECT doc_id, source, text,
-             len({_WORDS_SQL}) AS n_words,
-             round(0.4 * least(CAST(len({_WORDS_SQL}) AS DOUBLE) / 100.0, 1.0)
-                 + 0.3 * (CASE WHEN len({_WORDS_SQL}) > 0
-                          THEN CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
-                               / len({_WORDS_SQL}) ELSE 0.0 END)
-                 + 0.3 * (1.0 - (CASE WHEN length(text) > 0
-                          THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                               / length(text) ELSE 0.0 END)), 4) AS q
-      FROM documents
-    ),
-    filtered AS (SELECT * FROM scored WHERE q >= 0.5),
-    keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text)
-    SELECT f.source,
-           COUNT(*) AS kept_docs,
-           CAST(SUM(f.n_words) AS BIGINT) AS total_words,
-           round(AVG(f.q), 2) AS avg_quality
-    FROM filtered f JOIN keep k ON f.doc_id = k.doc_id
-    GROUP BY f.source
-    """,
-)
-@register(
     "td_curation_v2",
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
@@ -2004,6 +1979,31 @@ def td_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "td_curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, text,
+             len({_WORDS_SQL}) AS n_words,
+             round(0.4 * least(CAST(len({_WORDS_SQL}) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN len({_WORDS_SQL}) > 0
+                          THEN CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+                               / len({_WORDS_SQL}) ELSE 0.0 END)
+                 + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+                          THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                               / length(text) ELSE 0.0 END)), 4) AS q
+      FROM documents
+    ),
+    filtered AS (SELECT * FROM scored WHERE q >= 0.5),
+    keep AS (SELECT min(doc_id) AS doc_id FROM filtered GROUP BY text)
+    SELECT f.source,
+           COUNT(*) AS kept_docs,
+           CAST(SUM(f.n_words) AS BIGINT) AS total_words,
+           round(AVG(f.q), 2) AS avg_quality
+    FROM filtered f JOIN keep k ON f.doc_id = k.doc_id
+    GROUP BY f.source
+    """,
+)
 def td_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full curation pass a training-data pipeline runs nightly,
     as ONE plan: quality-score filter → exact dedup (digest groupBy —

@@ -35,16 +35,22 @@ def duck():
 
 
 def _norm(v):
+    """Driver-faithful cell normalization: the driver hashes the
+    pandas-rendered cell, so an int64 `1594` vs a float64 `1594.0`
+    (DuckDB HUGEINT→pandas) MUST mismatch here too — keep the int/float
+    distinction, tolerate only sub-1e-4 float noise."""
+    import numpy as np
+
     if v is None:
         return "<null>"
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v):
             return "<nan>"
-        return f"{v:.4f}"
-    if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, (int,)):
-        return str(v)
+        return f"f{float(v):.4f}"
+    if isinstance(v, (int, np.integer)):
+        return f"i{int(v)}"
     return str(v)
 
 
@@ -71,7 +77,13 @@ def test_query_matches_oracle(spark, duck, name):
 
     res = duck.execute(oracles[name])
     duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # Fetch through pandas like the driver does: HUGEINT→float64 etc.
+    # must surface as type drift, not be laundered back to Python int.
+    pdf = res.df()
+    duck_rows = [
+        tuple(None if isinstance(v, float) and math.isnan(v) else v for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
