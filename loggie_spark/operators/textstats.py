@@ -131,29 +131,76 @@ def dup_word_fraction(text: Column) -> Column:
 
 def top_word_fraction(text: Column) -> Column:
     """Share of the single most frequent word — catches keyword-stuffed
-    and template pages. O(distinct·n) per row, all inside codegen."""
-    words = tokenize(text)
+    and template pages. array_sort + one run-length fold: O(n log n)
+    per row inside codegen (the earlier O(distinct·n) nested filter was
+    a straggler-maker on 50k-word web documents)."""
+    words = F.array_sort(tokenize(text))
     n = F.size(words)
-    counts = F.transform(
-        F.array_distinct(words),
-        lambda d: F.size(F.filter(words, lambda x: x == d)),
+
+    def merge(acc: Column, w: Column) -> Column:
+        run = (
+            F.when(acc.getField("prev").eqNullSafe(w), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+        )
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    max_run = F.aggregate(
+        words,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        merge,
+        lambda acc: acc.getField("best"),
     )
-    return F.when(n > 0, F.array_max(counts).cast("double") / n).otherwise(
-        F.lit(0.0)
-    )
+    return F.when(n > 0, max_run.cast("double") / n).otherwise(F.lit(0.0))
 
 
 def word_entropy(text: Column) -> Column:
     """Shannon entropy (bits) of the word distribution — low entropy =
-    repetitive/degenerate text. abs() clamps IEEE -0.0 on single-word
-    docs so both engines render 0.0."""
-    words = tokenize(text)
+    repetitive/degenerate text. Same sort + run-length fold as
+    :func:`top_word_fraction` (O(n log n) per row): each closed run of
+    length c contributes (c/n)·log2(c/n), identical arithmetic to the
+    per-distinct-word formula the DuckDB oracle uses. abs() clamps IEEE
+    -0.0 on single-word docs so both engines render 0.0."""
+    words = F.array_sort(tokenize(text))
     n = F.size(words)
-    probs = F.transform(
-        F.array_distinct(words),
-        lambda d: F.size(F.filter(words, lambda x: x == d)).cast("double") / n,
+
+    # The fold must not reference any outer column (e.g. n): Catalyst
+    # re-instantiates a captured expression tree PER ELEMENT, turning
+    # the fold O(n²) (measured: 15s for one 20k-word doc). Accumulate
+    # the self-contained Σ c·log2(c) instead and apply
+    # H = log2(n) − (Σ c·log2 c)/n outside the lambda.
+    def contrib(run: Column) -> Column:
+        return F.when(
+            run > 1, run.cast("double") * F.log2(run.cast("double"))
+        ).otherwise(F.lit(0.0))
+
+    def merge(acc: Column, w: Column) -> Column:
+        same = acc.getField("prev").eqNullSafe(w)
+        return F.struct(
+            w.alias("prev"),
+            F.when(same, acc.getField("run") + 1).otherwise(F.lit(1)).alias("run"),
+            (
+                acc.getField("s")
+                + F.when(same, F.lit(0.0)).otherwise(contrib(acc.getField("run")))
+            ).alias("s"),
+        )
+
+    s = F.aggregate(
+        words,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        merge,
+        lambda acc: acc.getField("s") + contrib(acc.getField("run")),
     )
-    ent = -F.aggregate(
-        probs, F.lit(0.0), lambda acc, p: acc + p * F.log2(p)
-    )
+    ent = F.log2(n.cast("double")) - s / n
     return F.when(n > 0, F.abs(ent)).otherwise(F.lit(0.0))

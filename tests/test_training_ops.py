@@ -293,6 +293,61 @@ def test_redact_pii_masks_all_kinds(spark):
     assert row.redacted == "mail <EMAIL> ip <IP> ssn <SSN> tel <PHONE> clean 1.2 done"
 
 
+def test_repetition_signals_long_doc(spark):
+    """50k-word web-scale documents: the sort+run-length fold must stay
+    O(n log n) per row (the earlier O(distinct·n) nested filter took
+    minutes here) and match exact Python-computed values."""
+    import math
+    import time
+    from collections import Counter
+
+    from loggie_spark.operators.textstats import (
+        dup_word_fraction,
+        top_word_fraction,
+        word_entropy,
+    )
+
+    def make_doc(seed: int, n: int) -> str:
+        # Zipf-ish: word w_k appears with frequency ∝ 1/(k+1); ~20k
+        # distinct words in a 50k-word doc — the shape that made the
+        # quadratic version a straggler.
+        words, k = [], 0
+        while len(words) < n:
+            words.extend([f"w{seed}x{k}"] * (1 + (k % 3 == 0) + 2 * (k % 17 == 0)))
+            k += 1
+        return " ".join(words[:n])
+
+    docs = [(i, make_doc(i, 50_000)) for i in range(4)]
+
+    def expected(text: str):
+        ws = text.lower().split()
+        n = len(ws)
+        c = Counter(ws)
+        ent = -sum((v / n) * math.log2(v / n) for v in c.values())
+        return (1 - len(c) / n, max(c.values()) / n, ent)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).repartition(4)
+    t = F.col("text")
+    t0 = time.monotonic()
+    got = {
+        r.doc_id: (r.dup, r.top, r.ent)
+        for r in df.select(
+            "doc_id",
+            dup_word_fraction(t).alias("dup"),
+            top_word_fraction(t).alias("top"),
+            word_entropy(t).alias("ent"),
+        ).collect()
+    }
+    elapsed = time.monotonic() - t0
+    for i, text in docs:
+        exp = expected(text)
+        for g, e in zip(got[i], exp):
+            assert abs(g - e) < 1e-9, (i, got[i], exp)
+    # Generous bound: the fold finishes in well under a second per doc;
+    # the quadratic version needed minutes (10^9 comparisons/row).
+    assert elapsed < 60, f"long-doc repetition stats took {elapsed:.1f}s"
+
+
 def test_repetition_signals_edges(spark):
     from loggie_spark.operators.textstats import (
         dup_word_fraction,
