@@ -519,10 +519,34 @@ def _replace_regex(ctx: _Ctx, args: list[str], extra: dict) -> None:
 @register_action("strconv")
 def _strconv(ctx: _Ctx, args: list[str], extra: dict) -> None:
     # strconv.go:64-74 — string → bool/int/float, error when invalid.
+    #
+    # keepOriginal=True maps normalize/convert.go:101-131: the reference
+    # stores into a dynamic map, so a failed parse KEEPS the original
+    # string while successes hold the typed value. A typed Spark column
+    # can't hold both, so the faithful mapping is a STRING column:
+    # successes render canonically (ints base-10, floats Go-'g' via
+    # gofmt, bools true/false — i.e. what the reference's json/toStr
+    # sink encoding would emit) and failures keep the original bytes.
+    # Documented divergences from Go parsing: Spark's try_cast trims
+    # surrounding whitespace (Go ParseInt(" 7") fails) and accepts
+    # y/yes/n/no for bools (Go ParseBool doesn't).
     key, typ = args[0], args[1]
     spark_t = {"bool": "boolean", "int": "long", "float": "double"}[typ]
     src = col_for_path(key)
     cast = src.try_cast(spark_t)  # ANSI-safe: malformed → null → error policy
+    if extra.get("keepOriginal"):
+        from loggie_spark.functions.gofmt import go_float_str
+
+        if typ == "float":
+            rendered = go_float_str(cast)
+        elif typ == "bool":
+            # Two-sided when: a NULL cast must stay NULL (otherwise()
+            # would swallow parse failures into 'false').
+            rendered = F.when(cast, "true").when(~cast, "false")
+        else:
+            rendered = cast.cast("string")
+        ctx.set_col(flat_name(key), F.coalesce(rendered, src.cast("string")))
+        return
     failed = cast.isNull() & src.isNotNull()
     # Policy must be applied BEFORE the overwrite: Column exprs resolve
     # by name at use-time, so after set_col 'failed' would see the new

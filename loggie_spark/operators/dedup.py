@@ -533,6 +533,7 @@ def dup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components over a dup-pair edge list — the step that
     turns pairwise near-dup hits (minhash / simhash / jaccard /
@@ -550,33 +551,48 @@ def dup_clusters(
     Output covers only nodes that appear in ``pairs`` — singleton docs
     have no cluster row (they are trivially their own survivor).
 
+    ``reliable=True`` switches lineage truncation to durable
+    ``df.checkpoint()`` against ``spark.sparkContext.setCheckpointDir``
+    (which must be set, ideally to the cluster's object store): an
+    executor lost mid-iteration recomputes from the checkpoint instead
+    of restarting the whole job — the right trade at cluster scale,
+    where a 1000-executor hour is worth more than the checkpoint I/O.
+    The default ``localCheckpoint`` is executor-local and fastest for
+    single-node / short jobs.
+
+    Raises ``RuntimeError`` if label propagation has not converged
+    after ``max_iter`` rounds (a component with diameter > max_iter —
+    e.g. a long chain of pairwise near-dups from boilerplate — would
+    otherwise be silently split into several cluster_ids).
+
     Returns (doc_id, cluster_id).
     """
-    edges = (
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+    edges = _ckpt(
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .union(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _ckpt(
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lab", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    changed = 1
     for _ in range(max_iter):
         prop = (
             edges.join(labels, edges["a"] == labels["node"])
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
-            labels.join(prop, "node", "left")
-            .select(
+        new_labels = _ckpt(
+            labels.join(prop, "node", "left").select(
                 "node",
                 F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -588,6 +604,13 @@ def dup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iter={max_iter} rounds: "
+            "a component's diameter exceeds the iteration budget; raise "
+            "max_iter (rounds are O(diameter), near-dup clusters are "
+            "normally shallow)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )

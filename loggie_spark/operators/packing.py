@@ -165,7 +165,13 @@ def pack_sequences_greedy(
             }
         )
 
+    # pmod, not %: Spark's % preserves the hash's sign, which would
+    # yield up to 2·n_shards-1 groups (halving shard fill) and negative
+    # pack_ids out of `shard << 40`.
     narrow = df.select(
-        id_col, source_col, len_col, (F.xxhash64(id_col) % n_shards).alias("_shard")
+        id_col,
+        source_col,
+        len_col,
+        F.pmod(F.xxhash64(id_col), F.lit(n_shards)).alias("_shard"),
     )
     return narrow.groupBy(source_col, "_shard").applyInPandas(fold, schema)

@@ -57,8 +57,13 @@ def stratified_sample(
         raise ValueError("mix rates must be non-negative")
     rate = _rate_col(rates, source_col, default_rate)
     h = md5_60bit(F.col(id_col).cast("string"), seed=seed) % _SCALE
+    # Explicit floor() on BOTH engines: Spark's cast-to-long truncates
+    # but DuckDB's CAST(... AS BIGINT) rounds, so a rate whose
+    # frac·1e6 lands just under an integer (0.15 → 149999.999…) would
+    # otherwise use different cutoffs — breaking bit-exact cross-engine
+    # reproducibility on boundary doc_ids.
     n_copies = F.floor(rate).cast("int") + F.when(
-        h < ((rate - F.floor(rate)) * _SCALE).cast("long"), 1
+        h < F.floor((rate - F.floor(rate)) * _SCALE).cast("long"), 1
     ).otherwise(0)
     return (
         df.withColumn("_n", n_copies)
@@ -87,5 +92,5 @@ def sample_rates_sql(
     h = f"({md5_60bit_sql(f'CAST({id_col} AS VARCHAR)', seed=seed)} % {_SCALE})"
     return (
         f"(CAST(floor({rate}) AS INTEGER) + CASE WHEN {h} < "
-        f"CAST(({rate} - floor({rate})) * {_SCALE} AS BIGINT) THEN 1 ELSE 0 END)"
+        f"CAST(floor(({rate} - floor({rate})) * {_SCALE}) AS BIGINT) THEN 1 ELSE 0 END)"
     )

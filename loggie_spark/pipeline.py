@@ -92,6 +92,13 @@ class SourceSpec:
     fields: dict[str, object] = field(default_factory=dict)
     fields_from_env: dict[str, str] = field(default_factory=dict)  # field → VAR
     fields_from_path: dict[str, str] = field(default_factory=dict)  # field → file
+    # fieldsUnderKey nesting (pipeline.go:1098-1123, AddSourceFields;
+    # core/source/config.go:35-36). None = under root — NOTE this
+    # diverges from the reference default (fieldsUnderRoot=false nests
+    # under "fields"); flat root columns are the idiomatic Spark shape
+    # and what the routing/oracle surface assumes. Set e.g. "fields"
+    # for reference-default nesting.
+    fields_under_key: str | None = None
     body_key: str | None = None  # bodyKey remap (pipeline.go:1092-1095)
     timestamp_key: str | None = None  # timestampKey (pipeline.go:1076-1090)
     timestamp_layout: str = ""  # Go layout; "" = defaultTsLayout
@@ -198,9 +205,21 @@ class Pipeline:
         const_fields = {
             s.name: s.resolved_fields() for s in cfg.sources if s.resolved_fields()
         }
+        under_keys = {
+            s.fields_under_key
+            for s in cfg.sources
+            if s.resolved_fields() and s.fields_under_key
+        }
+        if len(under_keys) > 1:
+            raise ValueError(
+                f"sources declare conflicting fields_under_key values: {under_keys}"
+            )
+        under_key = next(iter(under_keys)) if under_keys else None
         if const_fields:
             if not multi:
-                out = add_static_fields(out, next(iter(const_fields.values())))
+                out = add_static_fields(
+                    out, next(iter(const_fields.values())), under_key=under_key
+                )
             else:
                 spark = out.sparkSession
                 keys = sorted({k for f in const_fields.values() for k in f})
@@ -213,6 +232,14 @@ class Pipeline:
                 )
                 dim = spark.createDataFrame(rows, schema)
                 out = broadcast_enrich(out, dim, [cfg.source_col])
+                if under_key:
+                    # Nest the joined field columns into one struct
+                    # (fixed schema across sources: a source that never
+                    # declares a key carries "" there, mirroring the
+                    # dim-join fill above).
+                    out = out.withColumn(
+                        under_key, F.struct(*[F.col(k) for k in keys])
+                    ).drop(*keys)
 
         # Lookup enrichment (addK8sMeta-shaped broadcast join).
         if cfg.lookup is not None:

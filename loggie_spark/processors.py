@@ -72,11 +72,24 @@ def _under_root(p: dict) -> list[dict]:
 
 
 def _convert(p: dict) -> list[dict]:
-    # convert.go keep-original-on-failure ≙ strconv with ignoreError.
-    return [
-        {"action": f"strconv({c['from']}, {c['to']})", "ignoreError": True}
-        for c in p.get("convert", [])
-    ]
+    # convert.go:101-131 keeps the ORIGINAL string when Parse* fails
+    # (the reference event is a dynamic map, so one field can hold
+    # either type). A typed Spark column can't, so the default mapping
+    # is typed + NULL-on-failure (strconv/ignoreError) — a documented
+    # divergence that preserves the typed result every all-parse
+    # pipeline observes. Opting in with ``keepOriginal: true`` (per
+    # entry or processor-wide) selects the faithful mode: a string
+    # column of canonical renderings with original bytes on failure.
+    keep_all = p.get("keepOriginal", False)
+    out = []
+    for c in p.get("convert", []):
+        step = {"action": f"strconv({c['from']}, {c['to']})"}
+        if c.get("keepOriginal", keep_all):
+            step["keepOriginal"] = True
+        else:
+            step["ignoreError"] = True
+        out.append(step)
+    return out
 
 
 def _timestamp(p: dict) -> list[dict]:

@@ -1303,6 +1303,77 @@ def pl_normalize_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "k", "k_num", "site")
 
 
+@register(
+    "pl_convert_keep",
+    oracle="""
+    WITH raw AS (
+      SELECT event_id,
+             CASE event_id % 4 WHEN 0 THEN CAST(user_id AS VARCHAR)
+                  WHEN 1 THEN 'abc' WHEN 2 THEN CAST(user_id AS VARCHAR) || '.5'
+                  ELSE '' END AS i_raw,
+             CASE event_id % 3 WHEN 0 THEN '1e2'
+                  WHEN 1 THEN CAST(user_id AS VARCHAR) || '.50'
+                  ELSE 'nan?' END AS f_raw,
+             CASE event_id % 3 WHEN 0 THEN 'TRUE'
+                  WHEN 1 THEN '0' ELSE 'xx' END AS b_raw
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN regexp_matches(i_raw, '^[+-]?[0-9]+$')
+                THEN CAST(CAST(i_raw AS BIGINT) AS VARCHAR) ELSE i_raw END AS i_conv,
+           CASE WHEN TRY_CAST(f_raw AS DOUBLE) IS NULL THEN f_raw
+                ELSE regexp_replace(CAST(TRY_CAST(f_raw AS DOUBLE) AS VARCHAR),
+                                    '\\.0$', '') END AS f_conv,
+           CASE WHEN TRY_CAST(b_raw AS BOOLEAN) IS NULL THEN b_raw
+                WHEN TRY_CAST(b_raw AS BOOLEAN) THEN 'true' ELSE 'false' END AS b_conv
+    FROM raw
+    """,
+)
+def pl_convert_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """normalize ``convert`` keep-original-on-failure
+    (normalize/convert.go:101-131): with ``keepOriginal: true`` a failed
+    parse keeps the original bytes while successes render canonically
+    (ints base-10, floats Go-'g' so '1e2'→'100' and '.50'→'.5', bools
+    lowercased). The oracle emulates Go ParseInt strictness with an
+    integer-regex guard (DuckDB's BIGINT cast would round '7.5'→8)."""
+    from loggie_spark.processors import apply_processors
+
+    ev = _t(spark, sf_dir, "events")
+    uid = F.col("user_id").cast("string")
+    raw = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 4 == 0, uid)
+        .when(F.col("event_id") % 4 == 1, F.lit("abc"))
+        .when(F.col("event_id") % 4 == 2, F.concat(uid, F.lit(".5")))
+        .otherwise(F.lit(""))
+        .alias("i_conv"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("1e2"))
+        .when(F.col("event_id") % 3 == 1, F.concat(uid, F.lit(".50")))
+        .otherwise(F.lit("nan?"))
+        .alias("f_conv"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("TRUE"))
+        .when(F.col("event_id") % 3 == 1, F.lit("0"))
+        .otherwise(F.lit("xx"))
+        .alias("b_conv"),
+    )
+    out = apply_processors(
+        raw,
+        [
+            {
+                "convert": {
+                    "keepOriginal": True,
+                    "convert": [
+                        {"from": "i_conv", "to": "int"},
+                        {"from": "f_conv", "to": "float"},
+                        {"from": "b_conv", "to": "bool"},
+                    ],
+                }
+            }
+        ],
+    ).finish()
+    return out.select("event_id", "i_conv", "f_conv", "b_conv")
+
+
 # ===========================================================================
 # td_* — multimodal columns (binary payload plumbing)
 # ===========================================================================

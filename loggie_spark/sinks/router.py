@@ -203,11 +203,36 @@ def write_routed(
     out_dir: str,
     extra_partition_cols: list[str] | None = None,
     mode: str = "append",
+    max_size_mb: int | None = None,
+    avg_record_bytes: int = 512,
+    compress: bool = False,
 ) -> None:
     """Append the routed frame partitioned by (sink, route_key) — the
     physical fan-out. At scale this is an Iceberg append with the same
     partition spec; route_key cardinality is bounded by the sinks'
     patterns (dates × topics), so directory explosion is capped by
-    construction."""
+    construction.
+
+    File-rotation analog (file/config.go:21-53): the reference rotates
+    a live log file; a batch/Iceberg append has no live file, so the
+    honest mapping is file SIZING, not rotation —
+
+    - ``maxSize`` → ``max_size_mb``: caps bytes per output file via
+      ``maxRecordsPerFile`` = max_size_mb·2²⁰ / avg_record_bytes (Spark
+      caps by record count, not bytes; at the Iceberg layer the same
+      knob is ``write.target-file-size-bytes``).
+    - ``compress`` → parquet codec (gzip vs the snappy default).
+    - ``maxAge`` / ``maxBackups`` / ``localTime`` are retention of
+      rotated-out backups — table/lifecycle maintenance in a batch
+      world (Iceberg ``expire_snapshots`` / object-store lifecycle
+      rules), deliberately not mapped here.
+    """
     parts = [SINK_COL, ROUTE_COL] + (extra_partition_cols or [])
-    df.write.mode(mode).partitionBy(*parts).parquet(out_dir)
+    w = df.write.mode(mode)
+    if max_size_mb is not None:
+        w = w.option(
+            "maxRecordsPerFile", max(1, max_size_mb * (1 << 20) // avg_record_bytes)
+        )
+    if compress:
+        w = w.option("compression", "gzip")
+    w.partitionBy(*parts).parquet(out_dir)

@@ -40,6 +40,7 @@ def stream_pipeline(
     kafka_source=None,
     rate_limit_qps: int | None = None,
     trigger_seconds: int = 10,
+    events_per_file: int = 1,
 ) -> StreamingQuery:
     """Continuous parse → enrich → route into a partitioned parquet
     sink. ``available_now=True`` drains the backlog and stops (used in
@@ -55,8 +56,20 @@ def stream_pipeline(
     # T seconds with maxOffsets/maxFiles = qps*T caps sustained intake
     # at qps without per-event gating — backpressure instead of drops,
     # which is also what loggie's limiter does (it blocks, not drops).
+    #
+    # The qps semantic is EXACT only on the kafka path, where
+    # maxOffsetsPerTrigger counts records. The file source's
+    # maxFilesPerTrigger counts FILES, so qps holds only for
+    # one-event-per-file layouts; for multi-row files pass
+    # events_per_file with the mean rows/file and the cap is derived
+    # as qps·T / events_per_file (still an approximation — per-trigger
+    # intake jitters by file-size variance).
+    max_offsets_per_trigger = max_files_per_trigger
     if rate_limit_qps:
-        max_files_per_trigger = rate_limit_qps * trigger_seconds
+        max_offsets_per_trigger = rate_limit_qps * trigger_seconds
+        max_files_per_trigger = max(
+            1, max_offsets_per_trigger // max(1, events_per_file)
+        )
 
     if kafka_source is not None:
         from loggie_spark.sources.kafka import decode_kafka_records, read_kafka
@@ -65,7 +78,7 @@ def stream_pipeline(
             spark,
             kafka_source,
             streaming=True,
-            max_offsets_per_trigger=max_files_per_trigger,
+            max_offsets_per_trigger=max_offsets_per_trigger,
         )
         stream = decode_kafka_records(raw, addon_meta=kafka_source.addon_meta)
     else:

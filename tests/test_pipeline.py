@@ -181,3 +181,56 @@ def test_render_fail_policies(spark, tmp_path):
     out_drop = explode_to_sinks(df, [SinkSpec("k", "${topic}", on_render_fail="drop")])
     rows = out_drop.collect()
     assert {r.doc_id: r._route_failed for r in rows} == {"a": False}
+
+
+def test_write_routed_rotation_analog(spark, tmp_path):
+    """file/config.go:21-53 rotation analog: max_size_mb caps bytes per
+    output file via maxRecordsPerFile; compress=True selects gzip."""
+    import glob
+
+    from loggie_spark.sinks.router import write_routed
+
+    df = (
+        spark.range(1000)
+        .select(
+            F.col("id"),
+            F.lit("file").alias("sink"),
+            (F.col("id") % 2).cast("string").alias("route_key"),
+            F.sha2(F.col("id").cast("string"), 256).alias("body"),
+        )
+        .coalesce(1)
+    )
+    out = str(tmp_path / "routed")
+    # avg_record_bytes chosen so the cap lands at 100 records/file:
+    # 1000 rows / 2 routes / cap 100 → ≥5 files per route directory.
+    write_routed(df, out, max_size_mb=1, avg_record_bytes=10486, compress=True)
+    per_route = glob.glob(f"{out}/sink=file/route_key=0/*.parquet")
+    assert len(per_route) >= 5, per_route
+    assert all(".gz.parquet" in p for p in per_route), per_route[:2]
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+
+
+def test_flagship_plan_shape(spark):
+    """Lock the single-scan property the r01→r02 rewrite earned: the
+    flagship physical plan must contain exactly ONE shuffle Exchange
+    (the metrics aggregate), ONE BroadcastExchange (enrich), ONE
+    FileScan, and ZERO SortMergeJoin / CartesianProduct — so later
+    rounds can't silently regress to multi-pass."""
+    from loggie_spark.datagen import sequences_from_documents
+    from loggie_spark.sinks.metrics import sink_metrics
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    seq = sequences_from_documents(docs).withColumn(
+        "_ptime", F.lit("2024-03-01 00:00:00").cast("timestamp")
+    )
+    cfg = reference_pipeline(time_col_name="_ptime")
+    df = sink_metrics(Pipeline(cfg).transform(seq), cfg.name)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_broadcast = plan.count("BroadcastExchange")
+    n_shuffle = plan.count("Exchange") - n_broadcast
+    assert n_shuffle == 1, f"expected 1 shuffle Exchange, got {n_shuffle}:\n{plan}"
+    assert n_broadcast == 1, f"expected 1 BroadcastExchange, got {n_broadcast}:\n{plan}"
+    assert plan.count("FileScan") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

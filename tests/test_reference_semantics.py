@@ -194,6 +194,57 @@ def test_fields_from_env_and_path(spark, tmp_path):
     assert got == {"fleet": "edge", "zone": "zone-a", "rack": "rack-42"}
 
 
+def test_fields_under_key_nesting(spark):
+    """fieldsUnderKey (pipeline.go:1098-1123 AddSourceFields,
+    core/source/config.go:35-36): fields nest inside one struct column
+    instead of the under-root default — single-source and the
+    multi-source broadcast-dim path."""
+    from loggie_spark.pipeline import Pipeline, PipelineConfig, SourceSpec
+    from loggie_spark.sinks.router import SinkSpec
+
+    df = spark.createDataFrame(
+        [("d1", "l1", "a"), ("d2", "l2", "b")],
+        "doc_id string, body string, source string",
+    )
+    single = PipelineConfig(
+        name="p",
+        sources=[SourceSpec("a", fields={"fleet": "edge"}, fields_under_key="fields")],
+        sinks=[SinkSpec("out", "fixed")],
+        decode_tokens=False,
+    )
+    r = Pipeline(single).transform(df.filter(F.col("source") == "a")).collect()[0]
+    assert r.fields.fleet == "edge"
+
+    multi = PipelineConfig(
+        name="p",
+        sources=[
+            SourceSpec("a", fields={"fleet": "edge"}, fields_under_key="fields"),
+            SourceSpec("b", fields={"zone": "eu"}, fields_under_key="fields"),
+        ],
+        sinks=[SinkSpec("out", "fixed")],
+        decode_tokens=False,
+    )
+    rows = {r.source: r for r in Pipeline(multi).transform(df).collect()}
+    assert rows["a"].fields.fleet == "edge" and rows["a"].fields.zone == ""
+    assert rows["b"].fields.zone == "eu" and rows["b"].fields.fleet == ""
+    assert "fleet" not in Pipeline(multi).transform(df).columns
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="conflicting fields_under_key"):
+        Pipeline(
+            PipelineConfig(
+                name="p",
+                sources=[
+                    SourceSpec("a", fields={"x": "1"}, fields_under_key="k1"),
+                    SourceSpec("b", fields={"y": "2"}, fields_under_key="k2"),
+                ],
+                sinks=[SinkSpec("out", "fixed")],
+                decode_tokens=False,
+            )
+        ).transform(df)
+
+
 # -- bodyKey / timestampKey (pipeline.go:1076-1095) --------------------------
 
 

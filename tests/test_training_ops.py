@@ -198,6 +198,16 @@ def test_pack_sequences_greedy_no_straddle(spark):
     assert by_id[4][0] == p0 + 2 and by_id[4][1] == 0  # own bin
     assert by_id[5][0] == p0 + 3 and by_id[5][1] == 0  # 4 flushed at >= max
 
+    # Sharded: pmod keeps shards in 0..n_shards-1 so pack_ids are
+    # non-negative and the group count is bounded by n_shards (a signed
+    # % would double the groups and emit negative ids — ADVICE r02).
+    many = spark.createDataFrame(
+        [(i, "s", 100) for i in range(500)], "doc_id long, source string, n_tok long"
+    )
+    sharded = pack_sequences_greedy(many, max_len=2048, n_shards=8).collect()
+    assert all(r.pack_id >= 0 for r in sharded)
+    assert len({r.pack_id >> 40 for r in sharded}) <= 8
+
 
 def test_chunk_sequences_disjoint_and_tail(spark):
     from pyspark.sql import functions as F
@@ -245,6 +255,42 @@ def test_stratified_sample_rates(spark):
     assert 60 <= frac <= 140
 
 
+def test_stratified_sample_boundary_rate_cross_engine(spark):
+    """Rates whose frac·1e6 lands just under an integer (0.15 →
+    149999.999…97) must use the SAME cutoff in Spark and DuckDB —
+    explicit floor() on both sides (ADVICE r02)."""
+    import duckdb
+
+    from loggie_spark.operators.sampling import sample_rates_sql, stratified_sample
+
+    rates = {"a": 0.15, "b": 1.15}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="a" if i % 2 else "b") for i in range(400)]
+    )
+    got = (
+        stratified_sample(df, rates)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    )
+    spark_copies = {r.doc_id: r["count"] for r in got}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(doc_id BIGINT, source VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(i, "a" if i % 2 else "b") for i in range(400)],
+    )
+    frag = sample_rates_sql(rates)
+    duck_copies = dict(
+        con.execute(f"SELECT doc_id, {frag} FROM t WHERE {frag} > 0").fetchall()
+    )
+    assert spark_copies == duck_copies
+    # the fractional cohort actually selects some-but-not-all rows
+    n_a = sum(1 for d, s in spark_copies.items() if d % 2)
+    assert 0 < n_a < 200
+
+
 def test_dup_clusters_chain_and_islands(spark):
     """A 4-node chain (1-2, 2-3, 3-4) needs >1 propagation round to
     converge; two islands must not merge; singleton docs never appear."""
@@ -260,6 +306,36 @@ def test_dup_clusters_chain_and_islands(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """reliable=True truncates lineage via durable df.checkpoint()
+    (cluster mode: survives executor loss mid-iteration)."""
+    from loggie_spark.operators.dedup import dup_clusters
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dup_clusters(pairs, reliable=True).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dup_clusters_nonconvergence_raises(spark):
+    """A chain whose diameter exceeds max_iter must raise, not return
+    silently split clusters (ADVICE r02)."""
+    import pytest as _pytest
+
+    from loggie_spark.operators.dedup import dup_clusters
+
+    chain = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(12)])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(chain, max_iter=2)
+    # and a budget that fits the diameter still converges exactly
+    got = {r.doc_id: r.cluster_id for r in dup_clusters(chain, max_iter=15).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
 
 
 def test_contamination_flags_planted_overlap(spark):
