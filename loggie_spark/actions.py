@@ -335,29 +335,36 @@ def _apply_regex(ctx: _Ctx, key: str, to: str | None, pattern: str, extra: dict)
     repl = _XMARK + _XSEP + _XSEP.join(f"${i}" for i in range(1, n + 1))
 
     parts = F.split(F.regexp_replace(src, wrapped, repl), _XSEP)
-    # coalesce: a NULL body yields NULL size/get (Spark 4 ANSI), but the
-    # reference's GetString("") → no-match → action error semantics
-    # need a definite False here.
-    matched = F.coalesce(
-        (F.size(parts) == n + 1) & (F.get(parts, 0) == _XMARK), F.lit(False)
-    )
 
-    # Materialize ONCE behind an inline() Generate barrier. Without it,
-    # Catalyst's collapsed projections re-evaluate the regex for every
-    # downstream reference (each group column, each sink struct in the
-    # fan-out) — measured 8-50× regex re-runs per row on the flagship.
-    # Generate output is plain attributes, so downstream refs are free.
-    cols = {g: F.get(parts, gidx) for g, gidx in groups.items()}
-    cols["__m"] = matched
+    # Materialize the split ARRAY once behind an inline() Generate
+    # barrier. Without it, Catalyst's collapsed projections re-evaluate
+    # the regex for every downstream reference (each group column, each
+    # sink struct in the fan-out) — measured 8-50× regex re-runs per
+    # row on the flagship. Materializing the array (not one struct
+    # field per group) matters too: struct fields inside a Generate get
+    # no subexpression elimination, so n groups would still run the
+    # automaton n+1 times per row (measured 4.9 s → 0.9 s on
+    # pl_grok_parse and 3.6 s → 0.8 s on pl_regex_route_metrics at
+    # sf0.1 from this change alone). Generate output is a plain
+    # attribute; the per-group F.get()s on it are free.
     attrs, temps = _materialize(
-        ctx, cols, "rx", miss={"__m": F.lit(False)}
+        ctx,
+        {"__parts": parts},
+        "rx",
+        miss={"__parts": F.lit(None).cast("array<string>")},
     )
-    matched = attrs.pop("__m")
+    parr = attrs["__parts"]
+    # coalesce: a NULL body (or an ungated row's NULL array) yields
+    # NULL size/get (Spark 4 ANSI), but the reference's GetString("")
+    # → no-match → action error semantics need a definite False here.
+    matched = F.coalesce(
+        (F.size(parr) == n + 1) & (F.get(parr, 0) == _XMARK), F.lit(False)
+    )
 
     ignore_blank = extra.get("ignoreBlank", False)
     out_cols: dict[str, Column] = {}
-    for gname in groups:
-        val = attrs[gname]
+    for gname, gidx in groups.items():
+        val = F.get(parr, gidx)
         if ignore_blank:
             val = F.when(val == "", F.lit(None)).otherwise(val)
         out_cols[gname] = F.when(matched, val)
@@ -446,15 +453,13 @@ def _json_decode(ctx: _Ctx, args: list[str], extra: dict) -> None:
         parsed = F.from_json(src, schema)
         struct_t = T._parse_datatype_string(schema)
         field_names = [f_.name for f_ in struct_t.fields]
-        field_exprs = {n: parsed.getField(n) for n in field_names}
-        miss_exprs = {
-            f_.name: F.lit(None).cast(f_.dataType) for f_ in struct_t.fields
-        }
+        miss_parsed = F.lit(None).cast(struct_t)
+        getter = lambda p, n: p.getField(n)  # noqa: E731
     else:
         parsed = F.from_json(src, "map<string,string>")
         field_names = extra.get("fields") or []
-        field_exprs = {n: parsed.getItem(n) for n in field_names}
-        miss_exprs = {}
+        miss_parsed = F.lit(None).cast("map<string,string>")
+        getter = lambda p, n: p.getItem(n)  # noqa: E731
         if to is None and not field_names:
             raise ValueError("schemaless jsonDecode to root needs a 'fields' list")
 
@@ -464,17 +469,18 @@ def _json_decode(ctx: _Ctx, args: list[str], extra: dict) -> None:
         ctx.set_col(flat_name(to), parsed)
     else:
         # One from_json per row via the Generate barrier, not one per
-        # lifted field (_materialize rationale).
+        # lifted field: materialize the PARSED VALUE itself (struct
+        # fields inside the Generate get no subexpression elimination,
+        # so one struct field per lifted key would still run from_json
+        # n+1 times — same lesson as _apply_regex's array).
         attrs, temps = _materialize(
-            ctx,
-            {"__ok": parsed.isNotNull(), **field_exprs},
-            "js",
-            miss={"__ok": F.lit(False), **miss_exprs},
+            ctx, {"__parsed": parsed}, "js", miss={"__parsed": miss_parsed}
         )
-        failed = ~attrs["__ok"] & src.isNotNull()
+        pattr = attrs["__parsed"]
+        failed = pattr.isNull() & src.isNotNull()
         ctx.apply_error_policy(failed, extra)
         for n in field_names:
-            ctx.set_col(flat_name(n), attrs[n])
+            ctx.set_col(flat_name(n), getter(pattr, n))
         ctx.df = ctx.df.drop(*temps)
 
     if extra.get("deleteSrc", True) and key != "body":

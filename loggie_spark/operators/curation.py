@@ -105,3 +105,69 @@ def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "*", *cols, redact_pii(F.col(text_col)).alias("redacted")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level boilerplate detection (repeated n-gram fraction)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_fraction(
+    docs: DataFrame,
+    n: int = 5,
+    min_docs: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc fraction of word ``n``-grams that occur in at least
+    ``min_docs`` DISTINCT documents — the C4/CCNet-style boilerplate
+    signal (navbars, cookie banners, license headers repeat across
+    pages; prose doesn't). High fraction = template page.
+
+    100 TB shape: grams are hashed to 60-bit ints (md5 family — the
+    engine-agnostic choice so the DuckDB oracle reproduces counts
+    bit-exactly) and de-duplicated per doc BEFORE the explode, so the
+    document-frequency aggregation shuffles only (hash) scalars with
+    map-side combine, and the hit join shuffles (id, hash) pairs —
+    text never rides a shuffle. Two scalar shuffles total; no
+    broadcast assumption on the common-gram side (boilerplate sets
+    can be huge at web scale), so the join degrades safely to a
+    shuffle join and AQE broadcasts it when it is small.
+
+    Returns (id_col, n_grams, n_common, boilerplate_frac) per doc.
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+
+    gram_hashes = F.array_distinct(
+        F.transform(
+            word_ngrams(tokenize(F.col(text_col)), n), lambda g: md5_60bit(g)
+        )
+    )
+    per_doc = docs.select(
+        F.col(id_col), F.explode(gram_hashes).alias("gh")
+    )
+    common = (
+        per_doc.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df_count"))
+        .filter(F.col("df_count") >= min_docs)
+        .select("gh")
+    )
+    hits = (
+        per_doc.join(common, "gh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    totals = docs.select(F.col(id_col), F.size(gram_hashes).alias("n_grams"))
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce("n_common", F.lit(0)).cast("long").alias("n_common"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.coalesce("n_common", F.lit(0)).cast("double") / F.col("n_grams"), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("boilerplate_frac"),
+    )

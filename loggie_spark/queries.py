@@ -766,6 +766,47 @@ def td_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_flags(docs, bench, n=_DECON_N)
 
 
+def _boilerplate_oracle(n: int = 5, min_docs: int = 3) -> str:
+    from loggie_spark.functions.hashing import md5_60bit_sql
+
+    h = md5_60bit_sql("gram")
+    return f"""
+    WITH words AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= {n}
+        THEN [array_to_string(w[i:i+{n - 1}], ' ')
+              for i in generate_series(1, len(w) - {n - 1})]
+        ELSE [array_to_string(w, ' ')] END) AS gram
+      FROM words
+    ),
+    g2 AS (SELECT DISTINCT doc_id, {h} AS gh FROM grams),
+    common AS (SELECT gh FROM g2 GROUP BY gh HAVING count(*) >= {min_docs}),
+    hits AS (SELECT doc_id, count(*) AS n_common
+             FROM g2 JOIN common USING (gh) GROUP BY doc_id),
+    totals AS (SELECT doc_id, count(*) AS n_grams FROM g2 GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(t.n_grams AS INTEGER) AS n_grams,
+           CAST(COALESCE(h.n_common, 0) AS BIGINT) AS n_common,
+           round(CAST(COALESCE(h.n_common, 0) AS DOUBLE) / t.n_grams, 4)
+             AS boilerplate_frac
+    FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """
+
+
+@register("td_boilerplate", oracle=_boilerplate_oracle())
+def td_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate signal: per-doc fraction of word
+    5-grams occurring in ≥3 distinct documents (C4/CCNet-style —
+    navbars and license headers repeat across pages, prose doesn't).
+    Grams ride shuffles as 60-bit md5 ints only; two scalar shuffles
+    total; no broadcast assumption on the common-gram side (web-scale
+    boilerplate sets are huge — AQE broadcasts when small)."""
+    from loggie_spark.operators.curation import boilerplate_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_fraction(docs, n=5, min_docs=3)
+
+
 _REP_SQL = """
     WITH t AS (SELECT doc_id, {words} AS w FROM documents),
     s AS (SELECT doc_id, w, len(w) AS n, list_distinct(w) AS d FROM t)

@@ -338,7 +338,27 @@ def test_dup_clusters_nonconvergence_raises(spark):
     assert set(got.values()) == {0} and len(got) == 13
 
 
-def test_contamination_flags_planted_overlap(spark):
+def test_boilerplate_fraction_planted(spark):
+    """Three docs share a planted 5-gram banner; unique prose doesn't
+    trip the min_docs=3 threshold."""
+    from loggie_spark.operators.curation import boilerplate_fraction
+
+    banner = "all rights reserved cookie policy"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{banner} alpha beta gamma delta"),
+            Row(doc_id=2, text=f"{banner} epsilon zeta eta theta"),
+            Row(doc_id=3, text=f"{banner} iota kappa lambda mu"),
+            Row(doc_id=4, text="nu xi omicron pi rho sigma tau upsilon"),
+        ]
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_common, r.boilerplate_frac)
+        for r in boilerplate_fraction(docs, n=5, min_docs=3).collect()
+    }
+    # 9 words → 5 grams; only the banner gram itself repeats in 3 docs
+    assert got[1][0] == 5 and got[1][1] == 1 and abs(got[1][2] - 0.2) < 1e-9
+    assert got[4] == (4, 0, 0.0)
     from loggie_spark.operators.curation import contamination_flags
 
     docs = spark.createDataFrame(
