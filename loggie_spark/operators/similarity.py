@@ -112,3 +112,109 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank", "_bucket")
     )
+
+
+# -- IVF-flat: coarse-quantizer cells, deterministic seeding ----------------
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse quantizer: the ``n_cells`` corpus vectors
+    with the smallest md5 hash of their id become the cell centroids
+    (hash-seeded sampling instead of k-means — no RNG or iteration
+    state to ship, bit-reproducible in any engine, and for ANN recall
+    a random corpus sample is the standard zero-training quantizer).
+    Returns [(cell_id, centroid)] with cell_id ordered by the hash.
+
+    Driver-side collect is config-sized (n_cells × dim floats), not
+    data-sized — same contract as the LSH hyperplane literals.
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+
+    rows = (
+        corpus.select(
+            md5_60bit(F.col(c_id).cast("string")).alias("_h"),
+            F.col(c_vec).alias("_v"),
+        )
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    return [(i, [float(x) for x in r._v]) for i, r in enumerate(rows)]
+
+
+def _cell_scores(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<cos,cid>> of rounded cosine vs every centroid —
+    struct ordering gives (max cos, then max cid) argmax/sort for free."""
+    return F.array(
+        *[
+            F.struct(
+                F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 4).alias(
+                    "cos"
+                ),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    q_id: str = "vec_id",
+    q_vec: str = "embedding",
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: assign every corpus vector to its
+    nearest centroid cell (one narrow codegen pass — the centroid set
+    is a plan-time literal, zero shuffle, zero join), probe each
+    query's ``nprobe`` nearest cells, exact cosine + window top-k over
+    the probed candidates only.
+
+    100 TB shape: the corpus is written partitioned by ``cell``
+    (Iceberg partition column), so a query scans nprobe/n_cells of the
+    data; assignment never shuffles; only the (small, broadcast) query
+    side and the per-cell candidates meet. Recall tunes with nprobe.
+    """
+    cents = centroids or ivf_centroids(corpus, n_cells, c_id, c_vec)
+
+    best_cell = lambda v: F.array_max(_cell_scores(v, cents)).getField(  # noqa: E731
+        "cid"
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("_cv"),
+        best_cell(F.col(c_vec)).alias("cell"),
+    )
+    # nprobe nearest cells per query: sort the scores descending by
+    # (cos, cid) and take the first nprobe cell ids.
+    probed = F.transform(
+        F.slice(F.reverse(F.array_sort(_cell_scores(F.col(q_vec), cents))), 1, nprobe),
+        lambda s: s.getField("cid"),
+    )
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("_qv"),
+        F.explode(probed).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), ["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank", "cell")
+    )

@@ -1026,6 +1026,66 @@ def td_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumnRenamed("_bucket", "bucket")
 
 
+def _ivf_oracle(n_cells=8, nprobe=2, k=3) -> str:
+    from loggie_spark.functions.hashing import md5_60bit_sql
+
+    def cos(lv: str, rv: str) -> str:
+        return f"""round(
+      list_sum([CAST({lv}[i] AS DOUBLE) * CAST({rv}[i] AS DOUBLE)
+                for i in generate_series(1, len({lv}))]) /
+      (sqrt(list_sum([CAST({lv}[i] AS DOUBLE) * CAST({lv}[i] AS DOUBLE)
+                for i in generate_series(1, len({lv}))])) *
+       sqrt(list_sum([CAST({rv}[i] AS DOUBLE) * CAST({rv}[i] AS DOUBLE)
+                for i in generate_series(1, len({rv}))]))), 4)"""
+
+    h = md5_60bit_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY {h}) AS INTEGER) - 1 AS cid,
+             embedding AS cv
+      FROM embeddings ORDER BY {h} LIMIT {n_cells}
+    ),
+    assign AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv2, cid FROM (
+        SELECT e.vec_id, e.embedding, t.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos("e.embedding", "t.cv")} DESC, t.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN cents t
+      ) WHERE rn = 1
+    ),
+    qc AS (
+      SELECT vec_id AS query_id, embedding AS qv, cid FROM (
+        SELECT e.vec_id, e.embedding, t.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos("e.embedding", "t.cv")} DESC, t.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN cents t WHERE e.vec_id < 20
+      ) WHERE rn <= {nprobe}
+    )
+    SELECT query_id, neighbor_id, cos, rank, cell FROM (
+      SELECT q.query_id, a.neighbor_id, {cos("q.qv", "a.cv2")} AS cos,
+             CAST(a.cid AS INTEGER) AS cell,
+             CAST(row_number() OVER (PARTITION BY q.query_id
+               ORDER BY {cos("q.qv", "a.cv2")} DESC, a.neighbor_id ASC) AS INT)
+               AS rank
+      FROM qc q JOIN assign a ON q.cid = a.cid AND a.neighbor_id <> q.query_id
+    ) WHERE rank <= {k}
+    """
+
+
+@register("td_sim_topk_ivf", oracle=_ivf_oracle())
+def td_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (the third scale path next to brute force and SRP-
+    LSH): deterministic hash-seeded coarse centroids, corpus assigned
+    to cells in one narrow codegen pass (plan-time centroid literals —
+    zero shuffle), queries probe their nprobe nearest cells, exact
+    cosine inside. At 100 TB the corpus partitions by cell so probes
+    scan nprobe/n_cells of the data."""
+    from loggie_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, k=3, n_cells=8, nprobe=2)
+
+
 def _langid_oracle(threshold=0.05) -> str:
     from loggie_spark.operators.textstats import STOPWORDS
 

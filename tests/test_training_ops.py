@@ -474,3 +474,27 @@ def test_repetition_signals_edges(spark):
     assert got[3] == (0.0, 1.0, 0.0)
     assert str(got[3][2]) == "0.0"  # -0.0 clamped
     assert got[4] == (0.0, 0.0, 0.0)
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF with nprobe=n_cells degenerates to exact search (every cell
+    probed); with nprobe=2 recall@3 stays useful on clustered data."""
+    from loggie_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, emb, k=3).collect()
+    }
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=3, n_cells=4, nprobe=4).collect()
+    }
+    assert exact == brute  # all cells probed == exact search
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=3, n_cells=8, nprobe=2).collect()
+    }
+    recall = len(approx & brute) / len(brute)
+    assert recall >= 0.3, f"recall@3 {recall:.2f}"
