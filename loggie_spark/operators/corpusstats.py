@@ -1,0 +1,169 @@
+"""Corpus-level statistics operators: vocabulary building and
+self-trained bigram-LM fluency scoring.
+
+Both are standard steps in large-scale training-data pipelines (vocab
+coverage reports; CCNet-style LM quality filtering). The reference
+engine has no analog — these extend the training-data surface the same
+way dedup/similarity do. Everything is built-in Catalyst: the per-doc
+word counting is a single O(n log n) in-row pass (sort + run-length
+boundaries), so the vocabulary aggregation shuffles one row per
+DISTINCT word per doc — the in-row pass IS the map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from loggie_spark.operators.dedup import _materialize, tokenize
+
+
+def with_word_run_counts(
+    df: DataFrame, text_col: str = "text", out_col: str = "_wc"
+) -> DataFrame:
+    """Append ``out_col: array<struct<word,cnt>>`` — per-document word
+    frequencies computed entirely in-row in O(n log n): sort the word
+    array once (materialized behind a Generate barrier so lambdas see
+    a column reference, not a re-inlined sort), find run boundaries,
+    and read each run's word + length off the boundary index list. No
+    quadratic array-append fold, no explode of raw tokens — the
+    shuffle that follows carries one row per DISTINCT word per
+    document."""
+    step = _materialize(df, {"_ws": F.array_sort(tokenize(F.col(text_col)))})
+    step = _materialize(step, {"_ends": _boundary_ends(F.col("_ws"))})
+    return step.withColumn(
+        out_col, _pairs_from_ends(F.col("_ws"), F.col("_ends"))
+    ).drop("_ws", "_ends")
+
+
+def _boundary_ends(ws: Column) -> Column:
+    n = F.size(ws)
+    # sequence(1, 0) DESCENDS in Spark — guard the empty-array case
+    # explicitly or the filter probes ws[1] of an empty array (ANSI error).
+    return F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: (i == n) | (F.element_at(ws, i) != F.element_at(ws, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def _pairs_from_ends(ws: Column, ends: Column) -> Column:
+    pairs = F.transform(
+        ends,
+        lambda e, j: F.struct(
+            F.element_at(ws, e).alias("word"),
+            (e - F.when(j == 0, F.lit(0)).otherwise(F.element_at(ends, j)))
+            .cast("int")
+            .alias("cnt"),
+        ),
+    )
+    return F.when(F.size(ws) > 0, pairs).otherwise(
+        F.array().cast("array<struct<word:string,cnt:int>>")
+    )
+
+
+def vocab_stats(
+    docs: DataFrame,
+    top_k: int | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary: per-word total term frequency and document
+    frequency, optionally cut to the ``top_k`` most frequent words
+    (ties broken by word, deterministic).
+
+    100 TB shape: :func:`with_word_run_counts` pre-aggregates inside the
+    row, so the global aggregation shuffles (word, cnt) once per
+    distinct word per doc (bounded by vocab size × docs, a fraction of
+    raw token count) with map-side combine on top; heavy-hitter words
+    ('the') are just one partial count per task, never a skewed
+    reduce. ``top_k`` compiles to TakeOrdered (per-partition heap +
+    driver merge of k rows), not a global sort.
+
+    Returns ``(word, tf, df)``.
+    """
+    exploded = with_word_run_counts(docs, text_col).select(
+        F.explode(F.col("_wc")).alias("p")
+    )
+    out = exploded.groupBy(F.col("p.word").alias("word")).agg(
+        F.sum("p.cnt").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    if top_k is not None:
+        out = out.orderBy(F.col("tf").desc(), F.col("word")).limit(top_k)
+    return out
+
+
+def bigram_lm_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style LM fluency scoring, self-trained on the corpus: an
+    MLE bigram model P(w2 | w1) = c(w1,w2) / c(w1·) is estimated from
+    the corpus itself, and each document is scored with the MEAN
+    conditional probability of its bigrams. Template/boilerplate text
+    scores high, shuffled or malformed text scores low — the same
+    signal CCNet gets from a KenLM perplexity, without an external
+    model artifact.
+
+    Probabilities (not log-probs) keep the score bit-reproducible
+    across engines: c12/c1 is one IEEE-exact double division, and the
+    per-doc mean folds the SORTED probability list sequentially, so
+    Spark and the DuckDB oracle add in the same order and land on the
+    same double.
+
+    100 TB shape: two scalar aggregations build the model (bigram
+    counts, context counts — both map-side combined); the per-doc
+    score is one join of (id, w1, w2) scalars against the model table
+    (vocab²-bounded; AQE broadcasts it when small, degrades to a
+    shuffle join when not) and one groupBy(id). Text never shuffles.
+
+    Returns ``(id_col, n_bigrams, lm_score)``; docs with fewer than
+    two words get ``n_bigrams = 0`` and a NULL score.
+    """
+    w = tokenize(F.col(text_col))
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("w1"),
+                F.element_at(w, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    doc_bg = docs.select(
+        F.col(id_col), F.explode(bigrams).alias("bg")
+    ).select(id_col, "bg.w1", "bg.w2")
+    c12 = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = doc_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    model = c12.join(c1, "w1").select(
+        "w1", "w2", (F.col("c12") / F.col("c1")).alias("p")
+    )
+    scored = (
+        doc_bg.join(model, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("p")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("lm_score"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "lm_score",
+        )
+    )

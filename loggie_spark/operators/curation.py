@@ -108,6 +108,96 @@ def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# span-level dedup (C4-style repeated-span removal)
+# ---------------------------------------------------------------------------
+
+
+def span_dedup(
+    docs: DataFrame,
+    span_words: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style span-level dedup: slice every document into
+    non-overlapping ``span_words``-word spans, keep exactly ONE
+    occurrence of each duplicated span corpus-wide (the one with the
+    lexicographically smallest ``(doc_id, pos)``), and rebuild each
+    document from its surviving spans. C4 does this with three-sentence
+    spans; this corpus has no sentence structure, so the span unit is a
+    fixed word window — the semantics (corpus-global span-occurrence
+    dedup + in-place document reconstruction) are the same.
+
+    100 TB shape — the span TEXT never rides a shuffle:
+
+    1. spans are hashed to 60-bit ints in-row (md5 family, so the
+       DuckDB oracle reproduces the dedup decision bit-exactly);
+       only ``(doc_id, pos, h)`` scalars shuffle into the keeper
+       aggregation (map-side combine on ``h``);
+    2. the keeper per span value is ``min(struct(doc_id, pos))`` —
+       deterministic, retry-safe;
+    3. surviving positions fold back to one ``array<int>`` per doc
+       (scalar shuffle), and the document is REBUILT by re-slicing the
+       original word array in a narrow projection after a single
+       co-located join of the corpus against the (id, positions)
+       frame — small enough for AQE to broadcast at moderate scale.
+
+    Returns ``(id_col, n_spans, n_kept, clean_hash)`` where
+    ``clean_hash`` is the md5 of the reconstructed text.
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+
+    k = span_words
+    words = tokenize(F.col(text_col))
+    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    pos_seq = F.when(
+        F.size(words) > 0, F.sequence(F.lit(0), n_spans - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    occ = docs.select(
+        F.col(id_col), words.alias("_w"), F.explode(pos_seq).alias("pos")
+    ).select(
+        id_col,
+        "pos",
+        md5_60bit(
+            F.array_join(F.slice("_w", F.col("pos") * k + 1, F.lit(k)), " ")
+        ).alias("h"),
+    )
+    # The keeper rows ARE the kept occurrences — one (doc_id, pos) per
+    # distinct span hash — so no join-back against occ is needed: fold
+    # them straight into per-doc position arrays. Two scalar shuffles
+    # total for the whole dedup decision.
+    keeper = occ.groupBy("h").agg(
+        F.min(F.struct(id_col, "pos")).alias("k")
+    )
+    kept_pos = (
+        keeper.select(
+            F.col(f"k.{id_col}").alias(id_col), F.col("k.pos").alias("pos")
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("kp"))
+    )
+    words2 = tokenize(F.col(text_col))
+    kp = F.coalesce(F.col("kp"), F.array().cast("array<int>"))
+    clean = F.array_join(
+        F.flatten(
+            F.transform(kp, lambda j: F.slice(words2, j * k + 1, F.lit(k)))
+        ),
+        " ",
+    )
+    return (
+        docs.select(id_col, text_col)
+        .join(kept_pos, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.ceil(F.size(words2) / F.lit(k)).cast("int"), F.lit(0)).alias(
+                "n_spans"
+            ),
+            F.coalesce(F.size("kp"), F.lit(0)).cast("int").alias("n_kept"),
+            F.md5(clean).alias("clean_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus-level boilerplate detection (repeated n-gram fraction)
 # ---------------------------------------------------------------------------
 

@@ -2205,3 +2205,118 @@ def td_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r.n_words").cast("long").alias("total_words"),
         F.round(F.avg("r.q"), 2).alias("avg_quality"),
     )
+
+
+# ===========================================================================
+# td_span_dedup — C4-style repeated-span removal with reconstruction
+# ===========================================================================
+
+_SPAN_K = 20
+
+
+def _span_dedup_oracle(k: int = _SPAN_K) -> str:
+    h = md5_60bit_sql("span")
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    spans AS (
+      SELECT doc_id,
+             unnest([CAST((i-1)/{k} AS INT)
+                     for i in generate_series(1, len(w), {k})]) AS pos,
+             unnest([array_to_string(list_slice(w, i, i+{k - 1}), ' ')
+                     for i in generate_series(1, len(w), {k})]) AS span
+      FROM w
+    ),
+    occ AS (SELECT doc_id, pos, span, {h} AS h FROM spans),
+    keeper AS (
+      SELECT h, min(struct_pack(doc_id := doc_id, pos := pos)) AS k
+      FROM occ GROUP BY h
+    ),
+    kept AS (
+      SELECT o.doc_id, o.pos, o.span FROM occ o JOIN keeper g
+      ON o.h = g.h AND o.doc_id = g.k.doc_id AND o.pos = g.k.pos
+    ),
+    recon AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(span, ' ' ORDER BY pos)) AS clean_hash
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(ceil(len(w.w)/{k}.0) AS INT) AS n_spans,
+           CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+           coalesce(r.clean_hash, md5('')) AS clean_hash
+    FROM w LEFT JOIN recon r USING (doc_id)
+    """
+
+
+@register("td_span_dedup", oracle=_span_dedup_oracle())
+def td_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup (see operators/curation.py:span_dedup):
+    corpus-global removal of repeated fixed-width word spans, keeping
+    the first occurrence by (doc_id, pos) and rebuilding each document
+    from its surviving spans. The dedup decision shuffles only
+    (doc_id, pos, 60-bit md5 hash) scalars; the text is rebuilt by
+    re-slicing the original word array after a single co-located join.
+    DuckDB reproduces the md5-hash keeper choice bit-exactly."""
+    from loggie_spark.operators.curation import span_dedup
+
+    return span_dedup(_t(spark, sf_dir, "documents"), span_words=_SPAN_K)
+
+
+# ===========================================================================
+# td_vocab_topk / td_bigram_lm — corpus-level statistics operators
+# ===========================================================================
+
+_VOCAB_K = 50
+
+
+@register(
+    "td_vocab_topk",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    perdoc AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word)
+    SELECT word, CAST(sum(cnt) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+    FROM perdoc GROUP BY word ORDER BY tf DESC, word LIMIT {_VOCAB_K}
+    """,
+)
+def td_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-k (term + document frequency). The per-doc
+    word counting happens IN-ROW (sorted run-length pass,
+    operators/corpusstats.py:word_run_counts), so the global agg
+    shuffles one (word, cnt) row per distinct word per doc and the
+    top-k compiles to TakeOrdered, not a global sort."""
+    from loggie_spark.operators.corpusstats import vocab_stats
+
+    return vocab_stats(_t(spark, sf_dir, "documents"), top_k=_VOCAB_K)
+
+
+@register(
+    "td_bigram_lm",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([w[i] for i in generate_series(1, len(w)-1)]) AS w1,
+             unnest([w[i+1] for i in generate_series(1, len(w)-1)]) AS w2
+      FROM w WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    model AS (SELECT w1, w2, CAST(c12 AS DOUBLE)/c1 AS p FROM c12 JOIN c1 USING (w1)),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             round(list_reduce(list_sort(list(p)), (a,b) -> a+b)
+                   / count(*), 4) AS lm_score
+      FROM bg JOIN model USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.lm_score
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def td_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM fluency score per document (CCNet's LM
+    quality filter without the external KenLM artifact; see
+    operators/corpusstats.py:bigram_lm_scores). Mean conditional
+    bigram probability, folded over the SORTED probability list so
+    Spark and DuckDB sum in the same order — bit-identical doubles."""
+    from loggie_spark.operators.corpusstats import bigram_lm_scores
+
+    return bigram_lm_scores(_t(spark, sf_dir, "documents"))

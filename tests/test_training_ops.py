@@ -498,3 +498,65 @@ def test_ivf_topk_recall_vs_brute(spark):
     }
     recall = len(approx & brute) / len(brute)
     assert recall >= 0.3, f"recall@3 {recall:.2f}"
+
+
+def test_span_dedup_removes_repeated_span(spark):
+    """A 20-word span duplicated across two docs survives only in the
+    doc with the smaller id; unique spans survive everywhere; an empty
+    doc yields 0 spans and md5('')."""
+    from loggie_spark.operators.curation import span_dedup
+
+    shared = " ".join(f"w{i}" for i in range(20))  # exactly one span
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"b{i}" for i in range(7))  # partial tail span
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{uniq_a} {shared}"),
+            Row(doc_id=2, text=f"{shared} {uniq_b}"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r.doc_id: r for r in span_dedup(df, span_words=20).collect()}
+    assert (out[1].n_spans, out[1].n_kept) == (2, 2)  # first occurrence kept
+    assert (out[2].n_spans, out[2].n_kept) == (2, 1)  # shared span removed
+    assert (out[3].n_spans, out[3].n_kept) == (0, 0)
+    import hashlib
+
+    assert out[3].clean_hash == hashlib.md5(b"").hexdigest()
+    assert out[2].clean_hash == hashlib.md5(uniq_b.encode()).hexdigest()
+    assert out[1].clean_hash == hashlib.md5(f"{uniq_a} {shared}".encode()).hexdigest()
+
+
+def test_vocab_stats_counts(spark):
+    from loggie_spark.operators.corpusstats import vocab_stats
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a c"),
+            Row(doc_id=2, text="a  a"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    got = {r.word: (r.tf, r.df) for r in vocab_stats(df).collect()}
+    assert got == {"a": (4, 2), "b": (1, 1), "c": (1, 1)}
+    top1 = vocab_stats(df, top_k=1).collect()
+    assert [(r.word, r.tf) for r in top1] == [("a", 4)]
+
+
+def test_bigram_lm_scores(spark):
+    """Corpus 'x y' twice and 'x z' once: P(y|x)=2/3, P(z|x)=1/3; a
+    one-word doc gets 0 bigrams and a NULL score."""
+    from loggie_spark.operators.corpusstats import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="x y"),
+            Row(doc_id=2, text="x y"),
+            Row(doc_id=3, text="x z"),
+            Row(doc_id=4, text="solo"),
+        ]
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    assert out[1].lm_score == out[2].lm_score == round(2 / 3, 4)
+    assert out[3].lm_score == round(1 / 3, 4)
+    assert out[4].n_bigrams == 0 and out[4].lm_score is None
