@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from loggie_spark.operators.dedup import _materialize, tokenize
+from loggie_spark.operators.dedup import _materialize, spread_small_input, tokenize
 
 
 def with_word_run_counts(
@@ -83,7 +83,7 @@ def vocab_stats(
 
     Returns ``(word, tf, df)``.
     """
-    exploded = with_word_run_counts(docs, text_col).select(
+    exploded = with_word_run_counts(spread_small_input(docs), text_col).select(
         F.explode(F.col("_wc")).alias("p")
     )
     out = exploded.groupBy(F.col("p.word").alias("word")).agg(
@@ -134,7 +134,7 @@ def bigram_lm_scores(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    doc_bg = docs.select(
+    doc_bg = spread_small_input(docs).select(
         F.col(id_col), F.explode(bigrams).alias("bg")
     ).select(id_col, "bg.w1", "bg.w2")
     c12 = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from loggie_spark.operators.dedup import tokenize, word_ngrams
+from loggie_spark.operators.dedup import spread_small_input, tokenize, word_ngrams
 
 
 # ---------------------------------------------------------------------------
@@ -48,7 +48,7 @@ def contamination_flags(
     bench_grams = (
         benchmark.select(F.explode(grams(bench_text_col)).alias("gram")).distinct()
     )
-    doc_grams = docs.select(
+    doc_grams = spread_small_input(docs).select(
         F.col(id_col), F.explode(grams(text_col)).alias("gram")
     )
     hits = (
@@ -146,6 +146,7 @@ def span_dedup(
     """
     from loggie_spark.functions.hashing import md5_60bit
 
+    docs = spread_small_input(docs)
     k = span_words
     words = tokenize(F.col(text_col))
     n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
@@ -233,6 +234,7 @@ def boilerplate_fraction(
             word_ngrams(tokenize(F.col(text_col)), n), lambda g: md5_60bit(g)
         )
     )
+    docs = spread_small_input(docs)
     per_doc = docs.select(
         F.col(id_col), F.explode(gram_hashes).alias("gh")
     )

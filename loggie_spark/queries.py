@@ -2115,7 +2115,9 @@ def td_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count_ws,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    from loggie_spark.operators.dedup import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     grams = lambda df: df.select(  # noqa: E731
         "doc_id",
@@ -2182,9 +2184,10 @@ def td_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle moves 64-byte digests, never documents) → id semi-join
     → per-source corpus stats. Certifies that the individually-oracled
     operators compose without drift."""
+    from loggie_spark.operators.dedup import spread_small_input
     from loggie_spark.operators.textstats import quality_score, token_count_ws
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
     scored = docs.select(
         "doc_id",
         "source",
