@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "td_token_counts",
     "td_dup_clusters",
     "td_curation_v2",
+    "td_span_dedup",
+    "td_vocab_topk",
+    "td_bigram_lm",
 ]
 
 

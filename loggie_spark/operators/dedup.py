@@ -23,7 +23,7 @@ canonical approach (bands ≈ O(rows × n_bands) with tiny values).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from loggie_spark.functions.hashing import md5_60bit
@@ -588,20 +588,22 @@ def dup_clusters(
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("lab").alias("nlab"))
         )
+        nlab = F.least(F.col("lab"), F.coalesce("nlab", "lab"))
+        # Labels only ever DECREASE, so "changed" is just nlab < lab —
+        # and the convergence probe rides the checkpoint job itself as
+        # an observe() metric: ONE job per round, no separate count.
+        obs = Observation()
         new_labels = _ckpt(
-            labels.join(prop, "node", "left").select(
+            labels.join(prop, "node", "left")
+            .select(
                 "node",
-                F.least(F.col("lab"), F.coalesce("nlab", "lab")).alias("lab"),
+                nlab.alias("lab"),
+                (nlab < F.col("lab")).alias("chg"),
             )
+            .observe(obs, F.max("chg").alias("any"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = 1 if obs.get["any"] else 0
+        labels = new_labels.select("node", "lab")
         if changed == 0:
             break
     if changed != 0:
