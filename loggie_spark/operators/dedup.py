@@ -616,3 +616,82 @@ def dup_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# token-domain window dedup (spans over token arrays, no decode)
+# ---------------------------------------------------------------------------
+
+
+def token_window_dedup(
+    seq: DataFrame,
+    window: int = 64,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level dedup in the TOKEN domain: slice each pre-tokenized
+    sequence (``tokens: array<int32>``) into non-overlapping
+    ``window``-token windows, keep one occurrence of each duplicated
+    window corpus-wide (smallest ``(doc_id, pos)``), and report the
+    surviving token stream — without ever decoding tokens to text.
+    The token-payload twin of curation.span_dedup: a training-data
+    pipeline dedups AFTER tokenization, so the operator must work on
+    the token arrays the Iceberg table actually stores.
+
+    100 TB shape (same as span_dedup): windows hash to 60-bit ints
+    in-row, only ``(doc_id, pos, h)`` scalars shuffle (map-side
+    combine); keeper rows fold straight into per-doc position arrays;
+    surviving windows are re-sliced from the original token array in
+    a narrow projection after one co-located join — the token arrays
+    never ride a shuffle.
+
+    Returns ``(id_col, n_windows, n_kept, kept_tok, clean_hash)``
+    where ``kept_tok`` counts surviving tokens and ``clean_hash`` is
+    the md5 of the surviving token stream (space-joined decimal).
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+
+    seq = spread_small_input(seq)
+    k = window
+    toks = F.col(tokens_col)
+    n_win = F.coalesce(
+        F.ceil(F.size(toks) / F.lit(k)).cast("int"), F.lit(0)
+    )
+    pos_seq = F.when(
+        F.size(toks) > 0, F.sequence(F.lit(0), n_win - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    win_str = lambda arr: F.array_join(  # noqa: E731
+        F.transform(arr, lambda t: t.cast("string")), " "
+    )
+    occ = seq.select(
+        F.col(id_col), toks.alias("_t"), F.explode(pos_seq).alias("pos")
+    ).select(
+        id_col,
+        "pos",
+        md5_60bit(
+            win_str(F.slice("_t", F.col("pos") * k + 1, F.lit(k)))
+        ).alias("h"),
+    )
+    keeper = occ.groupBy("h").agg(F.min(F.struct(id_col, "pos")).alias("k"))
+    kept_pos = (
+        keeper.select(
+            F.col(f"k.{id_col}").alias(id_col), F.col("k.pos").alias("pos")
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("kp"))
+    )
+    kp = F.coalesce(F.col("kp"), F.array().cast("array<int>"))
+    kept_toks = F.flatten(
+        F.transform(kp, lambda j: F.slice(toks, j * k + 1, F.lit(k)))
+    )
+    return (
+        seq.select(id_col, tokens_col)
+        .join(kept_pos, id_col, "left")
+        .select(
+            id_col,
+            n_win.alias("n_windows"),
+            F.coalesce(F.size("kp"), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.size(kept_toks), F.lit(0)).cast("int").alias("kept_tok"),
+            F.md5(win_str(kept_toks)).alias("clean_hash"),
+        )
+    )

@@ -2323,3 +2323,70 @@ def td_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loggie_spark.operators.corpusstats import bigram_lm_scores
 
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# td_token_window_dedup — span dedup in the TOKEN domain (no decode)
+# ===========================================================================
+
+_TOKWIN = 64
+
+
+def _token_window_oracle(k: int = _TOKWIN) -> str:
+    # documents.text is ASCII, so token == byte == char: window j of the
+    # token array is substring(text, j*k+1, k) re-expressed as decimal
+    # code points — reproduces the Spark-side hash input exactly.
+    tokstr = (
+        "array_to_string([CAST(unicode(c) AS VARCHAR) "
+        "for c in string_split({w}, '')], ' ')"
+    )
+    h = md5_60bit_sql("win")
+    return f"""
+    WITH base AS (
+      SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS doc_id,
+             text, length(text) AS n FROM documents
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest([CAST((i-1)/{k} AS INT)
+                     for i in generate_series(1, n, {k})]) AS pos,
+             unnest([{tokstr.format(w=f"substring(text, i, {k})")}
+                     for i in generate_series(1, n, {k})]) AS win
+      FROM base
+    ),
+    hashed AS (SELECT doc_id, pos, win, {h} AS h FROM occ),
+    keeper AS (
+      SELECT h, min(struct_pack(doc_id := doc_id, pos := pos)) AS k
+      FROM hashed GROUP BY h
+    ),
+    kept AS (
+      SELECT o.doc_id, o.pos, o.win FROM hashed o JOIN keeper g
+      ON o.h = g.h AND o.doc_id = g.k.doc_id AND o.pos = g.k.pos
+    ),
+    recon AS (
+      SELECT doc_id, count(*) AS n_kept,
+             CAST(sum(len(string_split(win, ' '))) AS INT) AS kept_tok,
+             md5(string_agg(win, ' ' ORDER BY pos)) AS clean_hash
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(ceil(b.n/{k}.0) AS INT) AS n_windows,
+           CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+           CAST(coalesce(r.kept_tok, 0) AS INT) AS kept_tok,
+           coalesce(r.clean_hash, md5('')) AS clean_hash
+    FROM base b LEFT JOIN recon r USING (doc_id)
+    """
+
+
+@register("td_token_window_dedup", oracle=_token_window_oracle())
+def td_token_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window dedup directly over the pre-tokenized sequences table
+    (doc_id, tokens:array<int32>, n_tok, source) — the token-payload
+    twin of td_span_dedup, operating on token arrays without decoding
+    to text (operators/dedup.py:token_window_dedup). The oracle
+    re-derives the token windows from the source text (ASCII: token ==
+    code point) and reproduces the 60-bit keeper decision exactly."""
+    from loggie_spark.datagen import sequences_from_documents
+    from loggie_spark.operators.dedup import token_window_dedup
+
+    seq = sequences_from_documents(_t(spark, sf_dir, "documents"))
+    return token_window_dedup(seq, window=_TOKWIN)

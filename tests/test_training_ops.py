@@ -560,3 +560,26 @@ def test_bigram_lm_scores(spark):
     assert out[1].lm_score == out[2].lm_score == round(2 / 3, 4)
     assert out[3].lm_score == round(1 / 3, 4)
     assert out[4].n_bigrams == 0 and out[4].lm_score is None
+
+
+def test_token_window_dedup(spark):
+    """A duplicated 4-token window survives only at its first
+    (doc_id, pos) occurrence; partial tail windows hash as their own
+    (shorter) spans."""
+    from loggie_spark.operators.dedup import token_window_dedup
+
+    shared = [1, 2, 3, 4]
+    df = spark.createDataFrame(
+        [
+            Row(doc_id="a", tokens=[9, 9, 9, 9] + shared),
+            Row(doc_id="b", tokens=shared + [7, 7]),
+            Row(doc_id="c", tokens=[]),
+        ]
+    )
+    out = {r.doc_id: r for r in token_window_dedup(df, window=4).collect()}
+    assert (out["a"].n_windows, out["a"].n_kept, out["a"].kept_tok) == (2, 2, 8)
+    assert (out["b"].n_windows, out["b"].n_kept, out["b"].kept_tok) == (2, 1, 2)
+    assert (out["c"].n_windows, out["c"].n_kept, out["c"].kept_tok) == (0, 0, 0)
+    import hashlib
+
+    assert out["b"].clean_hash == hashlib.md5(b"7 7").hexdigest()
