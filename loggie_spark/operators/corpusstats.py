@@ -138,7 +138,9 @@ def bigram_lm_scores(
         F.col(id_col), F.explode(bigrams).alias("bg")
     ).select(id_col, "bg.w1", "bg.w2")
     c12 = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = doc_bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # context counts roll up from the bigram counts (vocab²-sized), not
+    # from a second pass over the corpus: c(w1·) = Σ_w2 c(w1,w2).
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     model = c12.join(c1, "w1").select(
         "w1", "w2", (F.col("c12") / F.col("c1")).alias("p")
     )
