@@ -123,7 +123,15 @@ def bigram_lm_scores(
     Returns ``(id_col, n_bigrams, lm_score)``; docs with fewer than
     two words get ``n_bigrams = 0`` and a NULL score.
     """
-    w = tokenize(F.col(text_col))
+    # Materialize the word array before the lambda walk — Catalyst
+    # re-inlines expression trees into every element_at reference, so
+    # building bigrams off tokenize(...) directly re-splits the text
+    # once per element.
+    base = _materialize(
+        spread_small_input(docs).select(id_col, text_col),
+        {"_w": tokenize(F.col(text_col))},
+    )
+    w = F.col("_w")
     bigrams = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -134,7 +142,7 @@ def bigram_lm_scores(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    doc_bg = spread_small_input(docs).select(
+    doc_bg = base.select(
         F.col(id_col), F.explode(bigrams).alias("bg")
     ).select(id_col, "bg.w1", "bg.w2")
     c12 = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
