@@ -142,6 +142,22 @@ def main() -> None:
     print(json.dumps(result, indent=2))
     suffix = "_RAW" if args.job == "raw" else ""
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), f"BENCH_SCALING{suffix}.json")
+    # MERGE into the evidence file: earlier rounds' pairs (and their
+    # stage-isolation / control-experiment sections) must survive a
+    # re-run — append this measurement to `pairs` instead of clobbering.
+    existing: dict = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                existing = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            existing = {}
+    if "pairs" in existing:
+        existing["pairs"].append(
+            {k: result[k] for k in ("n_seq", "levels", "scaling_efficiency_N_to_4N")}
+        )
+        existing["scaling_efficiency_N_to_4N"] = result["scaling_efficiency_N_to_4N"]
+        result = existing
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 
