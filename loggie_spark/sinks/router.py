@@ -198,6 +198,51 @@ def explode_to_sinks(
     )
 
 
+def iceberg_available(spark) -> bool:
+    """True iff the Iceberg Spark runtime is on the session classpath.
+    The sandbox container ships no Iceberg jar, so the iceberg write
+    path below is capability-gated the same way the multimodal codecs
+    are: real plumbing, clear error when the environment lacks it."""
+    try:
+        # py4j resolves attribute paths lazily (a missing class is just
+        # a JavaPackage), so probe with an actual classloader lookup.
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Schema")
+        return True
+    except Exception:
+        return False
+
+
+def write_routed_iceberg(df: DataFrame, table: str) -> None:
+    """Iceberg append of the routed frame — the production sink shape
+    the north rule names (`file/kafka/ES-shaped sinks as partitioned
+    Iceberg appends`). The table's partition spec carries (sink,
+    route_key), so this is byte-for-byte the same fan-out as the
+    parquet path with Iceberg's snapshot/commit semantics on top:
+
+    - append is atomic per job (no torn partitions on failure; the
+      manifest-resume layer still dedups replays by bucket),
+    - ``write.target-file-size-bytes`` replaces ``maxRecordsPerFile``,
+    - rotation-retention analogs are ``expire_snapshots`` +
+      ``remove_orphan_files`` table maintenance.
+
+    Uses the DataFrameWriterV2 API (`createOrReplace` only if absent;
+    normal path is append into the existing spec).
+    """
+    spark = df.sparkSession
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not on the classpath: submit with "
+            "--packages org.apache.iceberg:iceberg-spark-runtime and a "
+            "configured catalog (spark.sql.catalog.<name>), or use the "
+            "parquet path (write_routed)."
+        )
+    try:
+        df.writeTo(table).append()
+    except Exception:
+        # First write: create with the fan-out partition spec.
+        df.writeTo(table).partitionedBy(F.col(SINK_COL), F.col(ROUTE_COL)).create()
+
+
 def write_routed(
     df: DataFrame,
     out_dir: str,

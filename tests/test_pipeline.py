@@ -234,3 +234,18 @@ def test_flagship_plan_shape(spark):
     assert plan.count("FileScan") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_iceberg_write_capability_gate(spark):
+    """The Iceberg routed-append path is capability-gated: without the
+    runtime jar (this container) it must fail with the documented
+    actionable error, not an opaque ClassNotFound from deep inside the
+    writer."""
+    import pytest as _pytest
+
+    from loggie_spark.sinks.router import iceberg_available, write_routed_iceberg
+
+    assert iceberg_available(spark) is False
+    df = spark.createDataFrame([("a", "t", "x")], ["_sink", "_route_key", "body"])
+    with _pytest.raises(RuntimeError, match="Iceberg runtime not on the classpath"):
+        write_routed_iceberg(df, "cat.db.routed")
