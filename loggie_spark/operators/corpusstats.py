@@ -177,3 +177,42 @@ def bigram_lm_scores(
             "lm_score",
         )
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    exact: bool = True,
+) -> DataFrame:
+    """Per-source corpus health report: doc counts, word totals and
+    length percentiles — the dashboard frame a curation pipeline
+    publishes next to every snapshot.
+
+    ``exact=True`` uses ``percentile_disc`` (discrete inverse
+    distribution — the value semantics DuckDB's ``quantile_disc``
+    reproduces bit-exactly, so the report itself is oracle-checkable).
+    Exact percentiles buffer each group's values in the aggregation —
+    fine for per-source groups up to ~10^8 rows; at full 100 TB scale
+    set ``exact=False`` for ``approx_percentile`` (t-digest, bounded
+    memory, map-side combinable) and accept ±ε on the percentiles;
+    counts/sums/means are exact either way.
+    """
+    from loggie_spark.operators.dedup import tokenize
+
+    n = F.size(tokenize(F.col(text_col)))
+    base = docs.select(F.col(group_col).alias("source"), n.alias("_n"))
+    if exact:
+        q = lambda p: F.expr(  # noqa: E731
+            f"CAST(percentile_disc({p}) WITHIN GROUP (ORDER BY _n) AS BIGINT)"
+        )
+    else:
+        q = lambda p: F.expr(f"approx_percentile(_n, {p})").cast("long")  # noqa: E731
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").cast("long").alias("total_words"),
+        F.round(F.avg("_n"), 2).alias("avg_words"),
+        q(0.5).alias("p50_words"),
+        q(0.9).alias("p90_words"),
+        q(0.99).alias("p99_words"),
+    )

@@ -2390,3 +2390,33 @@ def td_token_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seq = sequences_from_documents(_t(spark, sf_dir, "documents"))
     return token_window_dedup(seq, window=_TOKWIN)
+
+
+# ===========================================================================
+# td_corpus_report — per-source corpus health report (exact percentiles)
+# ===========================================================================
+
+
+@register(
+    "td_corpus_report",
+    oracle=f"""
+    WITH n AS (SELECT source, len({_WORDS_SQL}) AS _n FROM documents)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(_n) AS BIGINT) AS total_words,
+           round(avg(_n), 2) AS avg_words,
+           CAST(quantile_disc(_n, 0.5) AS BIGINT) AS p50_words,
+           CAST(quantile_disc(_n, 0.9) AS BIGINT) AS p90_words,
+           CAST(quantile_disc(_n, 0.99) AS BIGINT) AS p99_words
+    FROM n GROUP BY source
+    """,
+)
+def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus dashboard (operators/corpusstats.py:
+    corpus_report): counts, word totals, mean and exact p50/p90/p99
+    length percentiles — percentile_disc on Spark, quantile_disc in
+    DuckDB, value-identical by the discrete inverse-distribution
+    definition (verified across boundary fractions)."""
+    from loggie_spark.operators.corpusstats import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))

@@ -583,3 +583,16 @@ def test_token_window_dedup(spark):
     import hashlib
 
     assert out["b"].clean_hash == hashlib.md5(b"7 7").hexdigest()
+
+
+def test_corpus_report_exact_and_approx(spark):
+    from loggie_spark.operators.corpusstats import corpus_report
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, source="s", text=" ".join(["w"] * (i + 1))) for i in range(11)]
+    )
+    r = corpus_report(df).collect()[0]
+    assert (r.n_docs, r.total_words) == (11, 66)
+    assert (r.p50_words, r.p90_words, r.p99_words) == (6, 10, 11)
+    ra = corpus_report(df, exact=False).collect()[0]
+    assert ra.n_docs == 11 and abs(ra.p50_words - 6) <= 1
