@@ -177,6 +177,56 @@ def _seed_hash(i: int):
     return lambda p: F.pmod(p["a"] + F.lit(i) * p["b"], F.lit(MINHASH_MOD))
 
 
+def minhash_bands(
+    docs: DataFrame, n_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(_id, band, bucket) LSH band index from a (_id, _grams) frame.
+
+    Signature table via EXPLODE + partial-agg min, not per-row array
+    lambdas: higher-order functions (transform/aggregate) execute
+    interpreted outside whole-stage codegen — measured ~10s for 5k
+    docs — while explode → md5 → conv → N min() aggregates stay fully
+    codegen (one md5 per gram) and map-side combine to one row per
+    doc before the shuffle. This is also the only shape that works
+    when a document's gram set outgrows a single array at 10^12 rows.
+    Banding carries only (id, band, bucket) — gram arrays never ride
+    any downstream shuffle. This frame IS the persistent corpus index
+    for incremental dedup (dedup_incremental).
+    """
+    rows_per_band = n_hashes // bands
+    g = docs.select("_id", F.explode("_grams").alias("_g"))
+    h = F.md5(F.col("_g"))
+    a = F.conv(F.substring(h, 1, 10), 16, 10).cast("long")
+    b = F.conv(F.substring(h, 11, 10), 16, 10).cast("long")
+    hashed = g.select("_id", a.alias("_a"), b.alias("_b"))
+    sig_tbl = hashed.groupBy("_id").agg(
+        *[
+            F.min(F.pmod(F.col("_a") + F.lit(i) * F.col("_b"), F.lit(MINHASH_MOD))).alias(
+                f"_s{i}"
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(bd).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"_s{bd * rows_per_band + j}").cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for bd in range(bands)
+        ]
+    )
+    return sig_tbl.select("_id", F.explode(band_entries).alias("_b")).select(
+        "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -198,54 +248,12 @@ def minhash_lsh_pairs(
     ``bucket_cap`` bounds degenerate buckets (see :func:`_cap_buckets`)
     — set it (e.g. 1000) for web-scale corpora with boilerplate.
     """
-    rows_per_band = n_hashes // bands
     words = tokenize(F.col(text_col))
     grams = F.array_distinct(word_ngrams(words, shingle))
     docs = spread_small_input(df).select(
         F.col(id_col).alias("_id"), grams.alias("_grams")
     )
-
-    # Signature table via EXPLODE + partial-agg min, not per-row array
-    # lambdas: higher-order functions (transform/aggregate) execute
-    # interpreted outside whole-stage codegen — measured ~10s for 5k
-    # docs — while explode → md5 → conv → 8 min() aggregates stay fully
-    # codegen (one md5 per gram) and map-side combine to one row per
-    # doc before the shuffle. This is also the only shape that works
-    # when a document's gram set outgrows a single array at 10^12 rows.
-    g = docs.select("_id", F.explode("_grams").alias("_g"))
-    h = F.md5(F.col("_g"))
-    a = F.conv(F.substring(h, 1, 10), 16, 10).cast("long")
-    b = F.conv(F.substring(h, 11, 10), 16, 10).cast("long")
-    hashed = g.select("_id", a.alias("_a"), b.alias("_b"))
-    sig_tbl = hashed.groupBy("_id").agg(
-        *[
-            F.min(F.pmod(F.col("_a") + F.lit(i) * F.col("_b"), F.lit(MINHASH_MOD))).alias(
-                f"_s{i}"
-            )
-            for i in range(n_hashes)
-        ]
-    )
-
-    # Banding carries only (id, band, bucket) — gram arrays never ride
-    # the candidate shuffle.
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(bd).alias("band"),
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"_s{bd * rows_per_band + j}").cast("string")
-                        for j in range(rows_per_band)
-                    ],
-                ).alias("bucket"),
-            )
-            for bd in range(bands)
-        ]
-    )
-    banded = sig_tbl.select("_id", F.explode(band_entries).alias("_b")).select(
-        "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
-    )
+    banded = minhash_bands(docs, n_hashes=n_hashes, bands=bands)
     banded, keys = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
 
     left = banded.alias("l")
@@ -693,5 +701,94 @@ def token_window_dedup(
             F.coalesce(F.size("kp"), F.lit(0)).cast("int").alias("n_kept"),
             F.coalesce(F.size(kept_toks), F.lit(0)).cast("int").alias("kept_tok"),
             F.md5(win_str(kept_toks)).alias("clean_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new shard vs existing corpus index
+# ---------------------------------------------------------------------------
+
+
+def dedup_incremental(
+    shard: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 8,
+    shingle: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Dedup a NEW shard against an EXISTING corpus — the shape a
+    continuously-growing training corpus actually runs nightly (the
+    all-pairs self-join never reruns over history; only the new slice
+    is checked against the accumulated index).
+
+    Two independent signals per shard doc:
+
+    * ``dup_exact`` — sha2 digest occurs in the corpus (anti-join on a
+      64-byte key);
+    * ``dup_near``  — any minhash LSH band lands in an occupied corpus
+      bucket (same band family as :func:`minhash_lsh_pairs`, so a doc
+      flagged here is exactly one that WOULD have formed a candidate
+      pair in the batch self-join).
+
+    100 TB shape: in production both corpus sides are PRECOMPUTED,
+    append-only index tables (digests; (band, bucket) set) — scalar
+    columns only, written once per ingest; this function derives them
+    inline so the semantics are self-contained. The shard is small
+    relative to the corpus, so both probes are semi-joins of a small
+    keyed frame against a big scalar index — co-keyed hash joins, text
+    never shuffles, and nothing is quadratic in corpus size.
+
+    Returns ``(id_col, dup_exact, dup_near, keep)`` for every shard doc.
+    """
+    digest = lambda df: df.select(  # noqa: E731
+        F.col(id_col).alias("_id"),
+        F.sha2(F.col(text_col).cast("string"), 256).alias("_d"),
+    )
+    exact_ids = (
+        digest(shard)
+        .join(digest(corpus).select("_d").distinct(), "_d", "left_semi")
+        .select("_id")
+    )
+    grams = lambda df: spread_small_input(df).select(  # noqa: E731
+        F.col(id_col).alias("_id"),
+        F.array_distinct(word_ngrams(tokenize(F.col(text_col)), shingle)).alias(
+            "_grams"
+        ),
+    )
+    occupied = (
+        minhash_bands(grams(corpus), n_hashes=n_hashes, bands=bands)
+        .select("band", "bucket")
+        .distinct()
+    )
+    near_ids = (
+        minhash_bands(grams(shard), n_hashes=n_hashes, bands=bands)
+        .join(occupied, ["band", "bucket"], "left_semi")
+        .select("_id")
+        .distinct()
+    )
+    de = F.coalesce("_de", F.lit(False))
+    dn = F.coalesce("_dn", F.lit(False))
+    return (
+        shard.select(id_col)
+        .join(
+            exact_ids.withColumn("_de", F.lit(True)),
+            F.col(id_col) == F.col("_id"),
+            "left",
+        )
+        .drop("_id")
+        .join(
+            near_ids.withColumn("_dn", F.lit(True)),
+            F.col(id_col) == F.col("_id"),
+            "left",
+        )
+        .drop("_id")
+        .select(
+            id_col,
+            de.alias("dup_exact"),
+            dn.alias("dup_near"),
+            (~(de | dn)).alias("keep"),
         )
     )

@@ -2420,3 +2420,74 @@ def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loggie_spark.operators.corpusstats import corpus_report
 
     return corpus_report(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# td_dedup_incremental — new shard vs existing corpus index
+# ===========================================================================
+
+
+def _incremental_oracle(n_hashes=8, shingle=3, bands=4) -> str:
+    rows = n_hashes // bands
+    gram = "array_to_string(words[i:i+{}], ' ')".format(shingle - 1)
+    mod = 1 << 40
+    sig_cols = ", ".join(
+        "list_min([("
+        "CAST('0x' || substring(md5(g), 1, 10) AS BIGINT) + "
+        f"{i} * CAST('0x' || substring(md5(g), 11, 10) AS BIGINT)"
+        f") % {mod} for g in grams]) AS s{i}"
+        for i in range(n_hashes)
+    )
+    band_cols = ", ".join(
+        "concat_ws(',', "
+        + ", ".join(f"CAST(s{b * rows + j} AS VARCHAR)" for j in range(rows))
+        + f") AS band{b}"
+        for b in range(bands)
+    )
+    band_match = " OR ".join(f"l.band{b} = r.band{b}" for b in range(bands))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % 10 = 0 AS is_shard, text,
+             {_WORDS_SQL} AS words FROM documents
+    ), shingled AS (
+      SELECT doc_id, is_shard, text,
+             CASE WHEN len(words) >= {shingle}
+                  THEN [{gram} for i in range(1, len(words) - {shingle - 2})]
+                  ELSE [array_to_string(words, ' ')] END AS grams
+      FROM toks
+    ), banded AS (
+      SELECT doc_id, is_shard, text, {sig_cols} FROM shingled
+    ), banded2 AS (
+      SELECT doc_id, is_shard, text, {band_cols} FROM banded
+    ), exact AS (
+      SELECT DISTINCT s.doc_id FROM toks s JOIN toks c
+      ON s.is_shard AND NOT c.is_shard AND s.text = c.text
+    ), near AS (
+      SELECT DISTINCT l.doc_id FROM banded2 l JOIN banded2 r
+      ON l.is_shard AND NOT r.is_shard AND ({band_match})
+    )
+    SELECT t.doc_id,
+           e.doc_id IS NOT NULL AS dup_exact,
+           n.doc_id IS NOT NULL AS dup_near,
+           NOT (e.doc_id IS NOT NULL OR n.doc_id IS NOT NULL) AS keep
+    FROM toks t
+    LEFT JOIN exact e ON t.doc_id = e.doc_id
+    LEFT JOIN near n ON t.doc_id = n.doc_id
+    WHERE t.is_shard
+    """
+
+
+@register("td_dedup_incremental", oracle=_incremental_oracle())
+def td_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental shard-vs-corpus dedup (dedup.dedup_incremental):
+    the nightly growing-corpus shape — the new slice (doc_id % 10 == 0
+    here) probes the accumulated corpus's digest and minhash-band
+    indexes with semi-joins; history is never re-self-joined. Same
+    band family as td_dedup_minhash_lsh, so dup_near == 'would have
+    been an LSH candidate in the batch run'."""
+    from loggie_spark.operators.dedup import dedup_incremental
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup_incremental(shard, corpus)

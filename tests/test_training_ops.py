@@ -596,3 +596,26 @@ def test_corpus_report_exact_and_approx(spark):
     assert (r.p50_words, r.p90_words, r.p99_words) == (6, 10, 11)
     ra = corpus_report(df, exact=False).collect()[0]
     assert ra.n_docs == 11 and abs(ra.p50_words - 6) <= 1
+
+
+def test_dedup_incremental_flags(spark):
+    """Exact dup of a corpus doc flags dup_exact (and near, since
+    identical text shares every band); a near-dup flags dup_near only;
+    an unrelated doc keeps."""
+    from loggie_spark.operators.dedup import dedup_incremental
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    other = "completely different words compose this unrelated document here now"
+    corpus = spark.createDataFrame([Row(doc_id=1, text=base)])
+    shard = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base),
+            Row(doc_id=11, text=near),
+            Row(doc_id=12, text=other),
+        ]
+    )
+    out = {r.doc_id: r for r in dedup_incremental(shard, corpus).collect()}
+    assert out[10].dup_exact and not out[10].keep
+    assert (not out[11].dup_exact) and out[11].dup_near and not out[11].keep
+    assert out[12].keep and not out[12].dup_exact and not out[12].dup_near
