@@ -2491,3 +2491,164 @@ def td_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return dedup_incremental(shard, corpus)
+
+
+# ===========================================================================
+# td_curation_v3 — round-3 composite: decontaminate → span-dedup →
+# gates on the CLEANED text → exact dedup → per-source stats
+# ===========================================================================
+
+
+def _curation_v3_oracle(k: int = _SPAN_K, n: int = _DECON_N) -> str:
+    cw = "list_filter(string_split(lower(clean_text), ' '), w -> w <> '')"
+    return f"""
+    WITH w AS (SELECT doc_id, source, text, {_WORDS_SQL} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(CASE WHEN len(w) >= {n}
+        THEN [array_to_string(w[i:i+{n - 1}], ' ')
+              for i in generate_series(1, len(w) - {n - 1})]
+        ELSE [array_to_string(w, ' ')] END) AS gram
+      FROM w
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    hits AS (SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (gram)),
+    clean AS (SELECT * FROM w WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+    occ AS (
+      SELECT doc_id,
+             unnest([CAST((i-1)/{k} AS INT)
+                     for i in generate_series(1, len(w), {k})]) AS pos,
+             unnest([array_to_string(list_slice(w, i, i+{k - 1}), ' ')
+                     for i in generate_series(1, len(w), {k})]) AS span
+      FROM clean
+    ),
+    keeper AS (
+      SELECT span, min(struct_pack(doc_id := doc_id, pos := pos)) AS kk
+      FROM occ GROUP BY span
+    ),
+    kept AS (
+      SELECT g.kk.doc_id AS doc_id, g.kk.pos AS pos, o.span
+      FROM keeper g JOIN occ o
+      ON o.doc_id = g.kk.doc_id AND o.pos = g.kk.pos AND o.span = g.span
+    ),
+    recon AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT c.doc_id, c.source, r.clean_text,
+             len({cw}) AS n_words,
+             round(0.4 * least(CAST(len({cw}) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN len({cw}) > 0
+                          THEN CAST(len(list_distinct({cw})) AS DOUBLE)
+                               / len({cw}) ELSE 0.0 END)
+                 + 0.3 * (1.0 - (CASE WHEN length(clean_text) > 0
+                          THEN CAST(len(regexp_extract_all(clean_text, '[^\\w\\s]')) AS DOUBLE)
+                               / length(clean_text) ELSE 0.0 END)), 4) AS q,
+             round(CASE WHEN len({cw}) > 0
+                   THEN 1 - CAST(len(list_distinct({cw})) AS DOUBLE)
+                        / len({cw}) ELSE 0 END, 4) AS rep
+      FROM clean c JOIN recon r USING (doc_id)
+    ),
+    filtered AS (SELECT * FROM scored WHERE q >= 0.5 AND rep <= 0.3),
+    keep2 AS (SELECT clean_text, min(doc_id) AS doc_id FROM filtered GROUP BY clean_text)
+    SELECT f.source, COUNT(*) AS kept_docs,
+           CAST(SUM(f.n_words) AS BIGINT) AS total_words,
+           round(avg(f.q), 2) AS avg_quality
+    FROM filtered f JOIN keep2 k2 ON f.doc_id = k2.doc_id
+    GROUP BY f.source
+    """
+
+
+@register("td_curation_v3", oracle=_curation_v3_oracle())
+def td_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 nightly pass, ONE plan: benchmark decontamination
+    (broadcast-gram anti-join) → C4-style span dedup with in-place
+    reconstruction → quality + repetition gates ON THE CLEANED TEXT →
+    exact dedup of the cleaned text → per-source stats. Certifies the
+    round-3 operators compose without drift: the gates see the
+    post-dedup documents, not the originals. Shuffle inventory: gram
+    semi-join probe, span-hash keeper agg, kept-position fold, one
+    corpus join to rebuild text, digest dedup, source rollup — every
+    shuffled row is scalars or an int array; raw text rides only the
+    rebuild join."""
+    from loggie_spark.functions.hashing import md5_60bit
+    from loggie_spark.operators.dedup import (
+        _materialize,
+        spread_small_input,
+        tokenize,
+        word_ngrams,
+    )
+    from loggie_spark.operators.textstats import (
+        dup_word_fraction,
+        quality_score,
+        token_count_ws,
+    )
+
+    k = _SPAN_K
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(word_ngrams(tokenize(F.col("text")), _DECON_N)).alias("gram"),
+    )
+    hits = (
+        grams(docs)
+        .join(
+            F.broadcast(grams(bench).select("gram").distinct()), "gram", "left_semi"
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    clean = docs.join(hits, "doc_id", "left_anti")
+
+    words = tokenize(F.col("text"))
+    n_spans = F.ceil(F.size(words) / F.lit(k)).cast("int")
+    pos_seq = F.when(F.size(words) > 0, F.sequence(F.lit(0), n_spans - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = clean.select(
+        "doc_id", words.alias("_w"), F.explode(pos_seq).alias("pos")
+    ).select(
+        "doc_id",
+        "pos",
+        md5_60bit(
+            F.array_join(F.slice("_w", F.col("pos") * k + 1, F.lit(k)), " ")
+        ).alias("h"),
+    )
+    kept_pos = (
+        occ.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("kk"))
+        .select(F.col("kk.doc_id").alias("doc_id"), F.col("kk.pos").alias("pos"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("kp"))
+    )
+    rebuilt = clean.join(kept_pos, "doc_id")
+    words2 = tokenize(F.col("text"))
+    rebuilt = _materialize(
+        rebuilt,
+        {
+            "clean_text": F.array_join(
+                F.flatten(
+                    F.transform(F.col("kp"), lambda j: F.slice(words2, j * k + 1, F.lit(k)))
+                ),
+                " ",
+            )
+        },
+    )
+    t = F.col("clean_text")
+    scored = rebuilt.select(
+        "doc_id",
+        "source",
+        F.sha2(t, 256).alias("_digest"),
+        token_count_ws(t).alias("n_words"),
+        F.round(quality_score(t), 4).alias("q"),
+        F.round(dup_word_fraction(t), 4).alias("rep"),
+    ).filter((F.col("q") >= 0.5) & (F.col("rep") <= 0.3))
+    kept = scored.groupBy("_digest").agg(
+        F.min_by(F.struct("source", "n_words", "q"), F.col("doc_id")).alias("r")
+    )
+    return kept.groupBy(F.col("r.source").alias("source")).agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("r.n_words").cast("long").alias("total_words"),
+        F.round(F.avg("r.q"), 2).alias("avg_quality"),
+    )
