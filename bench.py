@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "td_span_dedup",
     "td_vocab_topk",
     "td_bigram_lm",
+    "td_token_window_dedup",
+    "td_dedup_incremental",
+    "td_curation_v3",
 ]
 
 

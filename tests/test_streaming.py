@@ -89,3 +89,35 @@ def test_streaming_dedup(spark, tmp_path):
     q.awaitTermination(60)
     ks = sorted(r.k for r in spark.sql("SELECT k FROM d1").collect())
     assert ks == ["a", "b"]
+
+
+def test_streaming_incremental_dedup_against_static_index(spark, tmp_path):
+    """The streaming face of dedup_incremental: a live ingest stream
+    anti-joins the accumulated corpus's static digest index (stream ×
+    static left_anti is fully supported — the index broadcasts or
+    hash-joins per micro-batch), so only genuinely new content reaches
+    the sink."""
+    src = str(tmp_path / "in_inc")
+    corpus = spark.createDataFrame(
+        [("c1", "already in corpus"), ("c2", "also old news")],
+        "doc_id string, text string",
+    )
+    index = corpus.select(F.sha2("text", 256).alias("_d"))
+    spark.createDataFrame(
+        [("n1", "already in corpus"), ("n2", "fresh document body")],
+        "doc_id string, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    survivors = stream.withColumn("_d", F.sha2("text", 256)).join(
+        index, "_d", "left_anti"
+    )
+    q = (
+        survivors.writeStream.format("memory")
+        .queryName("inc1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM inc1").collect())
+    assert got == ["n2"]
