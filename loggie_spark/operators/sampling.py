@@ -94,3 +94,39 @@ def sample_rates_sql(
         f"(CAST(floor({rate}) AS INTEGER) + CASE WHEN {h} < "
         f"CAST(floor(({rate} - floor({rate})) * {_SCALE}) AS BIGINT) THEN 1 ELSE 0 END)"
     )
+
+
+def epoch_order(
+    docs,
+    epoch: int,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+):
+    """Deterministic per-epoch training order: every doc gets a
+    ``(shard, pos)`` — the order a dataloader reads for epoch N —
+    derived purely from ``md5(epoch|id)``, so the permutation is
+    reproducible across reruns/resumes/engines and differs per epoch.
+
+    100 TB shape: a GLOBAL sort of the corpus per epoch would be a
+    full-corpus range shuffle; instead the hash assigns a shard
+    (pmod → one co-keyed shuffle of (id, key) scalars) and rank is
+    computed WITHIN each shard (in-partition sort, no cross-shard
+    coordination) — exactly how training shards are consumed anyway.
+
+    Returns ``(id_col, shard, pos)``; pos is 0-based within shard.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from loggie_spark.functions.hashing import md5_60bit
+
+    key = md5_60bit(F.concat(F.lit(f"{epoch}|"), F.col(id_col).cast("string")))
+    base = docs.select(F.col(id_col), key.alias("_k")).withColumn(
+        "shard", F.pmod(F.col("_k"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return base.select(
+        id_col,
+        "shard",
+        (F.row_number().over(w) - 1).cast("int").alias("pos"),
+    )

@@ -2652,3 +2652,38 @@ def td_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("r.n_words").cast("long").alias("total_words"),
         F.round(F.avg("r.q"), 2).alias("avg_quality"),
     )
+
+
+# ===========================================================================
+# td_epoch_order — deterministic per-epoch training order
+# ===========================================================================
+
+_EPOCH = 3
+_EPOCH_SHARDS = 16
+
+
+@register(
+    "td_epoch_order",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             {md5_60bit_sql(f"'{_EPOCH}|' || CAST(doc_id AS VARCHAR)")} AS _k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(_k % {_EPOCH_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY _k % {_EPOCH_SHARDS}
+                                   ORDER BY _k, doc_id) - 1 AS INT) AS pos
+    FROM k
+    """,
+)
+def td_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible epoch-N dataloader order (operators/sampling.py:
+    epoch_order): shard by md5(epoch|id), rank within shard — one
+    scalar shuffle + in-partition sort, never a global corpus sort.
+    DuckDB reproduces the exact permutation."""
+    from loggie_spark.operators.sampling import epoch_order
+
+    return epoch_order(
+        _t(spark, sf_dir, "documents"), epoch=_EPOCH, n_shards=_EPOCH_SHARDS
+    )

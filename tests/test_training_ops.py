@@ -619,3 +619,22 @@ def test_dedup_incremental_flags(spark):
     assert out[10].dup_exact and not out[10].keep
     assert (not out[11].dup_exact) and out[11].dup_near and not out[11].keep
     assert out[12].keep and not out[12].dup_exact and not out[12].dup_near
+
+
+def test_epoch_order_deterministic_and_epoch_varying(spark):
+    from loggie_spark.operators.sampling import epoch_order
+
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(50)])
+    e1a = {(r.doc_id): (r.shard, r.pos) for r in epoch_order(df, 1, 4).collect()}
+    e1b = {(r.doc_id): (r.shard, r.pos) for r in epoch_order(df, 1, 4).collect()}
+    e2 = {(r.doc_id): (r.shard, r.pos) for r in epoch_order(df, 2, 4).collect()}
+    assert e1a == e1b  # reproducible
+    assert e1a != e2  # epoch changes the permutation
+    # positions are a dense 0..k-1 within every shard
+    from collections import defaultdict
+
+    by_shard = defaultdict(list)
+    for shard, pos in e1a.values():
+        by_shard[shard].append(pos)
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
