@@ -3,10 +3,11 @@ columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` stages.
 
 The Spark-side plumbing (schema, batch shape, partition sizing) is
-real and tested; the actual codec work is stubbed because decode
-libraries (PIL/ffmpeg/torchaudio) are not in this container — each stub
-is a deterministic fake clearly marked, or raises NotImplementedError
-when ``strict=True``.
+real and tested. Codecs: PPM (P6) images and PCM WAV audio decode for
+REAL — pure numpy/struct, no external library, content-hash features
+off the decoded buffers. Formats that need PIL/ffmpeg (JPEG, PNG,
+MP4, …) fall back to a clearly-marked deterministic fake, or raise
+NotImplementedError when ``strict=True``.
 
 Design for scale: media bytes dominate row size, so stages
 (a) never shuffle the binary column (all transforms are narrow
@@ -51,21 +52,112 @@ FEATURE_SCHEMA = StructType(
         StructField("feat_hash", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
     ]
 )
 
 
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for a real image decode.
+    """Deterministic stand-in for codecs this container lacks.
 
-    STUB: a real deployment replaces this with PIL/libvips. The fake
-    derives stable pseudo-features from the bytes so tests can assert
-    exact values end-to-end.
+    STUB for formats needing PIL/libvips/ffmpeg (JPEG, PNG, MP4, …).
+    PPM images and PCM WAV audio decode for REAL below — pure
+    numpy/struct, no external library. The fake derives stable
+    pseudo-features from the bytes so tests can assert exact values
+    end-to-end.
     """
     import hashlib
 
     h = hashlib.md5(payload or b"").hexdigest()
-    return {"feat_hash": h, "width": int(h[:4], 16) % 1024, "height": int(h[4:8], 16) % 1024}
+    return {
+        "feat_hash": h,
+        "width": int(h[:4], 16) % 1024,
+        "height": int(h[4:8], 16) % 1024,
+        "duration_ms": None,
+    }
+
+
+def _decode_ppm(payload: bytes) -> dict:
+    """REAL image decode for binary PPM (P6) — pure numpy.
+
+    Header tokens (width, height, maxval) may be separated by any
+    whitespace and interleaved with ``#`` comments; pixel data is raw
+    RGB. ``feat_hash`` is the md5 of the DECODED pixel buffer, so two
+    files with identical pixels but different header comments hash
+    equal — the content-hash a media dedup actually wants.
+    """
+    import hashlib
+
+    import numpy as np
+
+    pos = 2  # past 'P6'
+    tokens: list[int] = []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = tokens
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return {
+        "feat_hash": hashlib.md5(px.tobytes()).hexdigest(),
+        "width": w,
+        "height": h,
+        "duration_ms": None,
+    }
+
+
+def _decode_wav(payload: bytes) -> dict:
+    """REAL audio decode for RIFF/WAVE PCM — pure struct/numpy chunk
+    walk (no wave-module file objects, works straight off the bytes).
+    ``feat_hash`` is the md5 of the raw sample data chunk."""
+    import hashlib
+    import struct
+
+    sample_rate = n_channels = bits = None
+    data = b""
+    pos = 12  # past RIFF<size>WAVE
+    while pos + 8 <= len(payload):
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            _fmt, n_channels, sample_rate, _bps, _align, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if not sample_rate or not n_channels or not bits:
+        raise ValueError("malformed WAV: missing fmt chunk")
+    n_samples = len(data) // (n_channels * bits // 8)
+    return {
+        "feat_hash": hashlib.md5(data).hexdigest(),
+        "width": None,
+        "height": None,
+        "duration_ms": int(n_samples * 1000 / sample_rate),
+    }
+
+
+def _decode_media(payload: bytes, strict: bool) -> dict:
+    """Sniff magic bytes and route to a real codec where one exists;
+    fall back to the deterministic fake (or raise under ``strict``)."""
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
+    if strict:
+        raise NotImplementedError(
+            "no real codec for this payload: PPM and PCM WAV decode "
+            "in-container; JPEG/PNG/MP4 need PIL/ffmpeg (not installed)"
+        )
+    return _fake_decode(payload)
 
 
 def decode_and_featurize(
@@ -80,10 +172,6 @@ def decode_and_featurize(
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg (not in container)"
-                )
             # Bound the working set INSIDE the UDF: the session's Arrow
             # batch size is a lazy global (mutating it here would race
             # with other plans and wouldn't apply at execute time
@@ -94,7 +182,7 @@ def decode_and_featurize(
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
                 feats = chunk["payload"].map(
-                    lambda p: _fake_decode(bytes(p) if p is not None else b"")
+                    lambda p: _decode_media(bytes(p) if p is not None else b"", strict)
                 )
                 yield pd.DataFrame(
                     {
@@ -104,8 +192,11 @@ def decode_and_featurize(
                         .map(lambda p: 0 if p is None else len(p))
                         .astype("int32"),
                         "feat_hash": feats.map(lambda f: f["feat_hash"]),
-                        "width": feats.map(lambda f: f["width"]).astype("int32"),
-                        "height": feats.map(lambda f: f["height"]).astype("int32"),
+                        "width": feats.map(lambda f: f["width"]).astype("Int32"),
+                        "height": feats.map(lambda f: f["height"]).astype("Int32"),
+                        "duration_ms": feats.map(lambda f: f["duration_ms"]).astype(
+                            "Int32"
+                        ),
                     }
                 )
 

@@ -1510,10 +1510,11 @@ def _hex4_to_int_sql() -> str:
 def td_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode/featurize plumbing end-to-end: an opaque
     ``binary`` payload column rides a narrow Arrow-batched mapInPandas
-    stage (operators/multimodal.py) and never shuffles. The codec is
-    the declared deterministic stub (md5-derived pseudo-features), so
-    DuckDB reproduces it bit-exactly — this certifies the batch shape,
-    schema and byte handling, not a real image decode."""
+    stage (operators/multimodal.py) and never shuffles. These payloads
+    hit the deterministic fallback codec (md5-derived pseudo-features),
+    so DuckDB reproduces it bit-exactly — certifying batch shape,
+    schema and byte handling; the REAL pure-numpy PPM/WAV codecs are
+    exercised in tests/test_training_ops.py."""
     from loggie_spark.operators.multimodal import decode_and_featurize
 
     docs = _t(spark, sf_dir, "documents")

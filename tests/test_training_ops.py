@@ -638,3 +638,53 @@ def test_epoch_order_deterministic_and_epoch_varying(spark):
         by_shard[shard].append(pos)
     for poss in by_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+def test_multimodal_real_ppm_and_wav_decode(spark):
+    """PPM and PCM WAV decode for REAL (pure numpy/struct): true
+    dimensions/duration come back, and the feat_hash is a CONTENT hash
+    — two PPMs with identical pixels but different header comments
+    hash equal (the dedup property a byte-hash cannot give)."""
+    import hashlib
+    import struct
+
+    from loggie_spark.operators.multimodal import decode_and_featurize
+
+    w, h = 4, 3
+    pixels = bytes(range(w * h * 3))
+    ppm_a = b"P6\n4 3\n255\n" + pixels
+    ppm_b = b"P6\n# a comment\n4 3\n255\n" + pixels
+
+    sr, n = 8000, 1200  # 1200 samples @ 8 kHz = 150 ms
+    data = struct.pack("<%dh" % n, *([100] * n))
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    media = spark.createDataFrame(
+        [
+            Row(media_id="img-a", kind="image", payload=bytearray(ppm_a),
+                mime="image/x-portable-pixmap", width=None, height=None, duration_ms=None),
+            Row(media_id="img-b", kind="image", payload=bytearray(ppm_b),
+                mime="image/x-portable-pixmap", width=None, height=None, duration_ms=None),
+            Row(media_id="aud-a", kind="audio", payload=bytearray(wav),
+                mime="audio/wav", width=None, height=None, duration_ms=None),
+        ],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    # strict=True must SUCCEED here: every payload has a real codec.
+    got = {r.media_id: r for r in decode_and_featurize(media, strict=True).collect()}
+    assert (got["img-a"].width, got["img-a"].height) == (4, 3)
+    assert got["img-a"].feat_hash == hashlib.md5(pixels).hexdigest()
+    assert got["img-a"].feat_hash == got["img-b"].feat_hash  # content hash
+    assert got["aud-a"].duration_ms == 150
+    assert got["aud-a"].feat_hash == hashlib.md5(data).hexdigest()
