@@ -792,3 +792,30 @@ def dedup_incremental(
             (~(de | dn)).alias("keep"),
         )
     )
+
+
+def cluster_survivors(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "q",
+) -> DataFrame:
+    """Quality-aware survivor selection: given (doc_id, cluster_id)
+    from :func:`dup_clusters` and a per-doc score frame, keep the
+    HIGHEST-scoring member of each near-dup cluster (ties broken by
+    smallest doc_id — deterministic, retry-safe) instead of the
+    default min-id. This is how production dedup actually chooses:
+    near-dup clusters often mix a clean original with mangled copies.
+
+    One co-keyed join of two scalar frames + one max_by groupBy —
+    shuffled rows are (id, cluster, score) triples.
+
+    Returns ``(cluster_id, survivor_id, cluster_size)``.
+    """
+    joined = clusters.join(scores.select(id_col, score_col), id_col)
+    return joined.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+        ).alias("survivor_id"),
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+    )

@@ -2688,3 +2688,76 @@ def td_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_order(
         _t(spark, sf_dir, "documents"), epoch=_EPOCH, n_shards=_EPOCH_SHARDS
     )
+
+
+# ===========================================================================
+# td_cluster_survivors — quality-aware survivor per near-dup cluster
+# ===========================================================================
+
+
+@register(
+    "td_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct({_WORDS_SQL}) AS wset,
+             array_to_string({_WORDS_SQL}[1:2], ' ') AS block
+      FROM documents
+    ),
+    pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM toks l JOIN toks r ON l.block = r.block AND l.doc_id < r.doc_id
+      WHERE round(CAST(len(list_intersect(l.wset, r.wset)) AS DOUBLE) /
+                  len(list_distinct(l.wset || r.wset)), 4) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.4 * least(CAST(len({_WORDS_SQL}) AS DOUBLE) / 100.0, 1.0)
+                 + 0.3 * (CASE WHEN len({_WORDS_SQL}) > 0
+                          THEN CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+                               / len({_WORDS_SQL}) ELSE 0.0 END)
+                 + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+                          THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                               / length(text) ELSE 0.0 END)), 4) AS q
+      FROM documents
+    )
+    SELECT cluster_id, survivor_id, cluster_size FROM (
+      SELECT c.cluster_id, c.doc_id AS survivor_id,
+             CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.q DESC, c.doc_id) AS rn
+      FROM clusters c JOIN q USING (doc_id)
+    ) WHERE rn = 1
+    """,
+)
+def td_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor per near-dup cluster
+    (dedup.cluster_survivors): the highest-quality_score member wins,
+    min-id on ties — composed on the same pairs→components flow as
+    td_dup_clusters, with the same recursive-CTE oracle."""
+    from loggie_spark.operators.dedup import (
+        cluster_survivors,
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from loggie_spark.operators.textstats import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_words=2, threshold=0.5)
+    clusters = dup_clusters(pairs)
+    scores = docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 4).alias("q")
+    )
+    return cluster_survivors(clusters, scores)

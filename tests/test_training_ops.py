@@ -688,3 +688,51 @@ def test_multimodal_real_ppm_and_wav_decode(spark):
     assert got["img-a"].feat_hash == got["img-b"].feat_hash  # content hash
     assert got["aud-a"].duration_ms == 150
     assert got["aud-a"].feat_hash == hashlib.md5(data).hexdigest()
+
+
+def test_cluster_survivors_prefers_quality(spark):
+    from loggie_spark.operators.dedup import cluster_survivors
+
+    clusters = spark.createDataFrame(
+        [Row(doc_id=1, cluster_id=1), Row(doc_id=2, cluster_id=1), Row(doc_id=5, cluster_id=5)]
+    )
+    scores = spark.createDataFrame(
+        [Row(doc_id=1, q=0.3), Row(doc_id=2, q=0.9), Row(doc_id=5, q=0.1)]
+    )
+    out = {r.cluster_id: r for r in cluster_survivors(clusters, scores).collect()}
+    assert out[1].survivor_id == 2 and out[1].cluster_size == 2  # best q wins
+    assert out[5].survivor_id == 5 and out[5].cluster_size == 1
+    # tie -> smallest id
+    scores_tie = spark.createDataFrame(
+        [Row(doc_id=1, q=0.5), Row(doc_id=2, q=0.5), Row(doc_id=5, q=0.1)]
+    )
+    out2 = {r.cluster_id: r for r in cluster_survivors(clusters, scores_tie).collect()}
+    assert out2[1].survivor_id == 1
+
+
+def test_word_run_counts_property(spark):
+    """Property: the in-row run-length word counter equals a Python
+    Counter for arbitrary whitespace-soup inputs."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from loggie_spark.operators.corpusstats import with_word_run_counts
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab \t", min_size=0, max_size=12), min_size=1, max_size=4
+        )
+    )
+    def check(texts):
+        df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, text string")
+        got = {
+            r.i: {p.word: p.cnt for p in r._wc}
+            for r in with_word_run_counts(df).collect()
+        }
+        for i, t in enumerate(texts):
+            assert got[i] == dict(Counter(w for w in t.lower().split() if w))
+
+    check()
