@@ -2761,3 +2761,46 @@ def td_cluster_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.round(quality_score(F.col("text")), 4).alias("q")
     )
     return cluster_survivors(clusters, scores)
+
+
+# ===========================================================================
+# th_sessionize — gap-based sessions over the events table
+# ===========================================================================
+
+_SESSION_GAP = 1800
+
+
+@register(
+    "th_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > {_SESSION_GAP}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    idx AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) - 1 AS INT) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS start_ts,
+           max(ts) AS end_ts,
+           CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+    FROM idx GROUP BY user_id, session_idx
+    """,
+)
+def th_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table
+    (operators/sessionize.py): one hash(user) shuffle with
+    in-partition sort carries the boundary flags, the cumulative
+    session index AND the rollup — Catalyst reuses the exchange across
+    the windows and the final aggregate."""
+    from loggie_spark.operators.sessionize import sessionize
+
+    return sessionize(_t(spark, sf_dir, "events"), gap_sec=_SESSION_GAP)

@@ -736,3 +736,22 @@ def test_word_run_counts_property(spark):
             assert got[i] == dict(Counter(w for w in t.lower().split() if w))
 
     check()
+
+
+def test_sessionize_gap_boundaries(spark):
+    from loggie_spark.operators.sessionize import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),  # same session (gap 600 <= 1800)
+        (1, "2024-01-01 01:00:00"),  # new session (gap 3000 > 1800)
+        (2, "2024-01-01 05:00:00"),  # other user, own session
+    ]
+    df = spark.createDataFrame(rows, "user_id long, t string").withColumn(
+        "ts", F.col("t").cast("timestamp")
+    )
+    out = {(r.user_id, r.session_idx): r for r in sessionize(df).collect()}
+    assert out[(1, 0)].n_events == 2 and out[(1, 0)].duration_sec == 600
+    assert out[(1, 1)].n_events == 1 and out[(1, 1)].duration_sec == 0
+    assert out[(2, 0)].n_events == 1
+    assert len(out) == 3
