@@ -216,3 +216,71 @@ def corpus_report(
         q(0.9).alias("p90_words"),
         q(0.99).alias("p99_words"),
     )
+
+
+def tokenize_to_ids(
+    docs: DataFrame,
+    vocab_size: int = 25,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode text to token ids against a corpus-derived vocabulary —
+    the step that turns a curated text corpus into the pre-tokenized
+    (tokens: array<int32>) table every other operator here consumes.
+
+    Vocabulary = top ``vocab_size`` words by term frequency (ties by
+    word — deterministic), ids dense 1-based in that order; words off
+    the vocab encode as -1 (OOV). The per-doc result is summarized as
+    ``(n_tok, n_oov, ids_hash)`` where ids_hash is the md5 of the
+    space-joined id sequence in document order — enough for an exact
+    cross-engine oracle without shipping giant arrays through the
+    compare.
+
+    100 TB shape: the vocab is aggregated with the same in-row
+    run-length pre-combine as :func:`vocab_stats` and then BROADCAST
+    (real tokenizer vocabs are 10⁴-10⁵ rows); the corpus side is one
+    posexplode → broadcast-hash lookup → per-doc fold. The id-assign
+    window runs over the vocab frame only (vocab_size rows, one
+    partition — never the corpus).
+    """
+    from pyspark.sql import Window
+
+    vocab = vocab_stats(docs, top_k=vocab_size, text_col=text_col).withColumn(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), F.col("word")))
+        .cast("int"),
+    ).select("word", "id")
+    words = tokenize(F.col(text_col))
+    doc_words = spread_small_input(docs).select(
+        F.col(id_col), F.posexplode(words).alias("pos", "word")
+    )
+    encoded = doc_words.join(F.broadcast(vocab), "word", "left").select(
+        id_col, "pos", F.coalesce("id", F.lit(-1)).alias("tid")
+    )
+    per_doc = encoded.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tok"),
+        F.sum((F.col("tid") == -1).cast("int")).cast("int").alias("n_oov"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s["tid"].cast("string"),
+                ),
+                " ",
+            )
+        ).alias("ids_hash"),
+    )
+    import hashlib
+
+    empty_hash = hashlib.md5(b"").hexdigest()
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            F.coalesce("ids_hash", F.lit(empty_hash)).alias("ids_hash"),
+        )
+    )

@@ -2804,3 +2804,56 @@ def th_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loggie_spark.operators.sessionize import sessionize
 
     return sessionize(_t(spark, sf_dir, "events"), gap_sec=_SESSION_GAP)
+
+
+# ===========================================================================
+# td_tokenize_ids — text → token ids against the corpus vocab
+# ===========================================================================
+
+_VOCAB_V = 25
+
+
+@register(
+    "td_tokenize_ids",
+    oracle=f"""
+    WITH allw AS (
+      SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+    ),
+    vocab AS (
+      SELECT word, CAST(row_number() OVER (ORDER BY count(*) DESC, word) AS INT) AS id
+      FROM allw GROUP BY word
+      ORDER BY count(*) DESC, word LIMIT {_VOCAB_V}
+    ),
+    pos_words AS (
+      SELECT doc_id,
+             unnest(generate_series(0, len({_WORDS_SQL}) - 1)) AS pos,
+             unnest({_WORDS_SQL}) AS word
+      FROM documents WHERE len({_WORDS_SQL}) > 0
+    ),
+    encoded AS (
+      SELECT p.doc_id, p.pos, coalesce(v.id, -1) AS tid
+      FROM pos_words p LEFT JOIN vocab v USING (word)
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS INT) AS n_tok,
+             CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS INT) AS n_oov,
+             md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)) AS ids_hash
+      FROM encoded GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(p.n_tok, 0) AS n_tok,
+           coalesce(p.n_oov, 0) AS n_oov,
+           coalesce(p.ids_hash, md5('')) AS ids_hash
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def td_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text → token-id encoding against the corpus's own top-V vocab
+    (operators/corpusstats.py:tokenize_to_ids): broadcast vocab
+    lookup, OOV = -1, per-doc id-sequence hash. Closes the loop from
+    curated text back to the pre-tokenized table shape the engine's
+    token-domain operators consume."""
+    from loggie_spark.operators.corpusstats import tokenize_to_ids
+
+    return tokenize_to_ids(_t(spark, sf_dir, "documents"), vocab_size=_VOCAB_V)

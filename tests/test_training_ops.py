@@ -755,3 +755,24 @@ def test_sessionize_gap_boundaries(spark):
     assert out[(1, 1)].n_events == 1 and out[(1, 1)].duration_sec == 0
     assert out[(2, 0)].n_events == 1
     assert len(out) == 3
+
+
+def test_tokenize_to_ids(spark):
+    """vocab top-2 by tf: 'a'(id 1), 'b'(id 2); 'z' is OOV (-1)."""
+    import hashlib
+
+    from loggie_spark.operators.corpusstats import tokenize_to_ids
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a a a b b z"),
+            Row(doc_id=2, text="b a"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r.doc_id: r for r in tokenize_to_ids(df, vocab_size=2).collect()}
+    assert (out[1].n_tok, out[1].n_oov) == (6, 1)
+    assert out[1].ids_hash == hashlib.md5(b"1 1 1 2 2 -1").hexdigest()
+    assert out[2].ids_hash == hashlib.md5(b"2 1").hexdigest()
+    assert (out[3].n_tok, out[3].n_oov) == (0, 0)
+    assert out[3].ids_hash == hashlib.md5(b"").hexdigest()
