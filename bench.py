@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "td_token_window_dedup",
     "td_dedup_incremental",
     "td_curation_v3",
+    "th_sessionize",
+    "td_tokenize_ids",
 ]
 
 
