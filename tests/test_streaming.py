@@ -121,3 +121,40 @@ def test_streaming_incremental_dedup_against_static_index(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM inc1").collect())
     assert got == ["n2"]
+
+
+def test_streaming_curation_composition(spark, tmp_path):
+    """The curation gates are pure projections, so they lift onto a
+    stream unchanged: quality gate -> exact dedup against the static
+    corpus index -> append survivors. Certifies the batch operators
+    compose with readStream without a separate streaming codepath."""
+    from loggie_spark.operators.textstats import quality_score
+
+    src = str(tmp_path / "in_cur")
+    good = ("fresh high quality document with many varied interesting words "
+            "covering several distinct topics and ideas today")
+    dup = "already indexed content"
+    junk = "a a a a a a a a a a a a"  # repetitive -> low quality
+    spark.createDataFrame(
+        [("n1", good), ("n2", dup), ("n3", junk)], "doc_id string, text string"
+    ).write.parquet(src)
+    index = spark.createDataFrame([(dup,)], "text string").select(
+        F.sha2("text", 256).alias("_d")
+    )
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    survivors = (
+        stream.withColumn("q", quality_score(F.col("text")))
+        .filter(F.col("q") >= 0.5)
+        .withColumn("_d", F.sha2("text", 256))
+        .join(index, "_d", "left_anti")
+    )
+    q = (
+        survivors.writeStream.format("memory")
+        .queryName("cur1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM cur1").collect())
+    assert got == ["n1"]
