@@ -204,3 +204,36 @@ def word_entropy(text: Column) -> Column:
     )
     ent = F.log2(n.cast("double")) - s / n
     return F.when(n > 0, F.abs(ent)).otherwise(F.lit(0.0))
+
+
+def with_compression_ratio(
+    df, text_col: str = "text", out_col: str = "zlib_ratio"
+):
+    """Gopher-style compressibility signal: ``len(zlib(text)) /
+    len(text)`` per document — highly repetitive or templated text
+    compresses far below prose, making this a cheap boilerplate/dup
+    detector orthogonal to the word-level signals above.
+
+    No SQL engine exposes zlib, so this is deliberately NOT in the
+    oracle registry; it is the repo's reference example of a scalar
+    Arrow-batched pandas UDF (the pattern for any signal that needs a
+    Python library): one narrow pass, vectorized per batch, payload
+    never shuffles. Empty/NULL text yields NULL.
+    """
+    import zlib
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def one(t):
+        if t is None or len(t) == 0:
+            return None
+        b = t.encode("utf-8")
+        return len(zlib.compress(b, 6)) / len(b)
+
+    # lambda (no annotations): `from __future__ import annotations`
+    # stringifies hints, which pandas_udf cannot resolve for local
+    # pd.Series references.
+    ratio = pandas_udf(lambda texts: texts.map(one), "double")
+
+    return df.withColumn(out_col, F.round(ratio(F.col(text_col)), 4))

@@ -776,3 +776,24 @@ def test_tokenize_to_ids(spark):
     assert out[2].ids_hash == hashlib.md5(b"2 1").hexdigest()
     assert (out[3].n_tok, out[3].n_oov) == (0, 0)
     assert out[3].ids_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far below varied text; empty -> NULL."""
+    from loggie_spark.operators.textstats import with_compression_ratio
+
+    rep = "spam " * 200
+    import random
+
+    rng = random.Random(7)
+    varied = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(200)
+    )
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=rep), Row(doc_id=2, text=varied), Row(doc_id=3, text="")]
+    )
+    out = {r.doc_id: r.zlib_ratio for r in with_compression_ratio(df).collect()}
+    assert out[1] < 0.05  # template compresses to almost nothing
+    assert out[2] > 0.5  # random prose barely compresses
+    assert out[3] is None
