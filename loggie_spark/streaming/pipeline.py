@@ -146,3 +146,44 @@ def streaming_dedup(
     bounded by the watermark (old keys age out), which is how a
     continuous ingest dedups without unbounded memory."""
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def write_stream_exactly_once(
+    routed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Exactly-once streaming append into an arbitrary table layout:
+    ``foreachBatch`` + idempotent per-batch-partition overwrite.
+
+    Structured Streaming replays an uncommitted micro-batch after a
+    crash with the SAME ``batch_id``; writing each batch into its own
+    ``_batch=<id>`` partition with dynamic partition overwrite makes
+    the replay rewrite that partition instead of appending duplicates
+    — the canonical exactly-once recipe for sinks without native
+    transactional support (the reference's at-least-once + sink-side
+    dedup contract, strengthened). The streaming face of the batch
+    manifest-resume layer (checkpoint.py): there the unit of replay is
+    a bucket, here a micro-batch.
+
+    Returns the started StreamingQuery.
+    """
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            df.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_dir)
+        )
+
+    writer = (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

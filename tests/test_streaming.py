@@ -158,3 +158,27 @@ def test_streaming_curation_composition(spark, tmp_path):
     q.awaitTermination(60)
     got = sorted(r.doc_id for r in spark.sql("SELECT doc_id FROM cur1").collect())
     assert got == ["n1"]
+
+
+def test_write_stream_exactly_once_resume(spark, tmp_path):
+    """Two runs over a growing input with ONE checkpoint: the second
+    run processes only the new file, and the output holds exactly one
+    copy of every input row (batch-id partitions are idempotent under
+    replay)."""
+    from loggie_spark.streaming.pipeline import write_stream_exactly_once
+
+    src = str(tmp_path / "in_eo")
+    out = str(tmp_path / "out_eo")
+    ckpt = str(tmp_path / "ckpt_eo")
+    spark.createDataFrame([("a",), ("b",)], "k string").write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = lambda: spark.readStream.schema(schema).parquet(src)  # noqa: E731
+    q = write_stream_exactly_once(stream(), out, ckpt)
+    q.awaitTermination(60)
+    spark.createDataFrame([("c",)], "k string").write.mode("append").parquet(src)
+    q2 = write_stream_exactly_once(stream(), out, ckpt)
+    q2.awaitTermination(60)
+    got = sorted(r.k for r in spark.read.parquet(out).select("k").collect())
+    assert got == ["a", "b", "c"]
