@@ -2857,3 +2857,74 @@ def td_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loggie_spark.operators.corpusstats import tokenize_to_ids
 
     return tokenize_to_ids(_t(spark, sf_dir, "documents"), vocab_size=_VOCAB_V)
+
+
+# ===========================================================================
+# td_kmeans_refine — Lloyd-refined IVF quantizer assignment
+# ===========================================================================
+
+
+def _kmeans_oracle(n_cells=8, dim=64) -> str:
+    def cos(lv: str, rv: str) -> str:
+        return f"""round(
+      list_sum([CAST({lv}[i] AS DOUBLE) * CAST({rv}[i] AS DOUBLE)
+                for i in generate_series(1, len({lv}))]) /
+      (sqrt(list_sum([CAST({lv}[i] AS DOUBLE) * CAST({lv}[i] AS DOUBLE)
+                for i in generate_series(1, len({lv}))])) *
+       sqrt(list_sum([CAST({rv}[i] AS DOUBLE) * CAST({rv}[i] AS DOUBLE)
+                for i in generate_series(1, len({rv}))]))), 4)"""
+
+    h = md5_60bit_sql("CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY {h}) AS INTEGER) - 1 AS cid,
+             embedding AS cv
+      FROM embeddings ORDER BY {h} LIMIT {n_cells}
+    ),
+    a0 AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, t.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos("e.embedding", "t.cv")} DESC, t.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN c0 t
+      ) z0 WHERE rn = 1
+    ),
+    mem AS (
+      SELECT cid, vec_id,
+             unnest(generate_series(1, {dim})) AS p,
+             unnest(embedding) AS val
+      FROM a0
+    ),
+    sums AS (
+      SELECT cid, p,
+             list_reduce(list(CAST(val AS DOUBLE) ORDER BY vec_id),
+                         (x, y) -> x + y) AS s,
+             count(*) AS n
+      FROM mem GROUP BY cid, p
+    ),
+    c1 AS (
+      SELECT cid, list(s / n ORDER BY p) AS cv FROM sums GROUP BY cid
+    ),
+    c1f AS (
+      SELECT c0.cid, coalesce(c1.cv, CAST(c0.cv AS DOUBLE[])) AS cv
+      FROM c0 LEFT JOIN c1 USING (cid)
+    )
+    SELECT vec_id, CAST(cell AS INTEGER) AS cell, cos FROM (
+      SELECT e.vec_id, t.cid AS cell, {cos("e.embedding", "t.cv")} AS cos,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos("e.embedding", "t.cv")} DESC, t.cid DESC) AS rn
+      FROM embeddings e CROSS JOIN c1f t
+    ) z WHERE rn = 1
+    """
+
+
+@register("td_kmeans_refine", oracle=_kmeans_oracle())
+def td_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the hash-seeded IVF quantizer
+    (operators/similarity.py:kmeans_refine): engine-deterministic
+    centroid means (members folded in vec_id order) reproduced
+    bit-exactly by DuckDB's ordered list_reduce."""
+    from loggie_spark.operators.similarity import kmeans_refine
+
+    assigned, _ = kmeans_refine(_t(spark, sf_dir, "embeddings"), n_cells=8, iters=1)
+    return assigned

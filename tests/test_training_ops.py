@@ -797,3 +797,21 @@ def test_compression_ratio_signal(spark):
     assert out[1] < 0.05  # template compresses to almost nothing
     assert out[2] > 0.5  # random prose barely compresses
     assert out[3] is None
+
+
+def test_kmeans_refine_tightens_cells(spark):
+    """One Lloyd iteration must not lower the mean member-to-centroid
+    cosine (Lloyd is monotone in the k-means objective); empty-cell
+    handling keeps the centroid count stable."""
+    from loggie_spark.operators.similarity import ivf_centroids, kmeans_refine
+    from loggie_spark.operators.similarity import _cell_scores
+    import pyspark.sql.functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    init = ivf_centroids(emb, n_cells=4)
+    best0 = F.array_max(_cell_scores(F.col("embedding"), init))
+    mean0 = emb.select(F.avg(best0.getField("cos"))).collect()[0][0]
+    assigned, cents = kmeans_refine(emb, n_cells=4, iters=1)
+    assert len(cents) == 4
+    mean1 = assigned.select(F.avg("cos")).collect()[0][0]
+    assert mean1 >= mean0 - 1e-9
