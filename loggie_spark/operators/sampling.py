@@ -130,3 +130,34 @@ def epoch_order(
         "shard",
         (F.row_number().over(w) - 1).cast("int").alias("pos"),
     )
+
+
+def group_sample(
+    docs,
+    k: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Deterministic k-per-group sample: the ``k`` rows of each group
+    with the smallest ``md5(id)`` — a uniform-at-random-looking but
+    fully reproducible pick (same rows on rerun/resume/any engine),
+    the standard way to pull eyeball/debug samples out of a 100 TB
+    corpus without rand() breaking retry idempotence.
+
+    One hash(group) shuffle + per-group in-partition sort; rank is a
+    window over the group, never a global sort.
+
+    Returns ``(group_col, id_col, rank)`` with rank 1..k.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from loggie_spark.functions.hashing import md5_60bit
+
+    h = md5_60bit(F.col(id_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h, id_col)
+    return (
+        docs.select(group_col, id_col)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -2928,3 +2928,29 @@ def td_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned, _ = kmeans_refine(_t(spark, sf_dir, "embeddings"), n_cells=8, iters=1)
     return assigned
+
+
+# ===========================================================================
+# td_group_sample — deterministic k-per-group eyeball sample
+# ===========================================================================
+
+
+@register(
+    "td_group_sample",
+    oracle=f"""
+    SELECT source, doc_id, rank FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY {md5_60bit_sql("CAST(doc_id AS VARCHAR)")}, doc_id)
+               AS INT) AS rank
+      FROM documents
+    ) t WHERE rank <= 5
+    """,
+)
+def td_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source sample (operators/sampling.py:
+    group_sample): smallest md5(id) per group — reproducible across
+    reruns and engines, no rand()."""
+    from loggie_spark.operators.sampling import group_sample
+
+    return group_sample(_t(spark, sf_dir, "documents"), k=5)
