@@ -1121,16 +1121,25 @@ def td_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "td_quality_score",
+    # Rounding parity subtlety: Spark's round(double) goes through
+    # BigDecimal.valueOf — it rounds the SHORTEST decimal repr
+    # (0.66075 → 0.6608, HALF_UP) — while DuckDB's round(DOUBLE)
+    # rounds the exact binary value (0.66074999… → 0.6607). Routing
+    # the oracle through VARCHAR→DECIMAL reproduces Spark's
+    # shortest-repr HALF_UP exactly (first bit at sf0.1: 5/5000 docs
+    # land on the .xxxx5 boundary; sf0.01 had none).
     oracle=f"""
     WITH toks AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents)
     SELECT doc_id,
-           round(0.4 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+           CAST(round(CAST(CAST(
+             0.4 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
                + 0.3 * (CASE WHEN len(words) > 0
                         THEN CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
                         ELSE 0.0 END)
                + 0.3 * (1.0 - (CASE WHEN length(text) > 0
                         THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
-                             / length(text) ELSE 0.0 END)), 4) AS quality
+                             / length(text) ELSE 0.0 END))
+             AS VARCHAR) AS DECIMAL(30,17)), 4) AS DOUBLE) AS quality
     FROM toks
     """,
 )
