@@ -26,3 +26,34 @@ def test_no_unbounded_join_shapes(spark, name):
             f"{name} plans a BroadcastNestedLoopJoin without a "
             "bounded-broadcast contract"
         )
+
+
+def test_bucketed_layout_joins_without_shuffle(spark, tmp_path):
+    """Certify the bucketed-layout claim the operator docstrings make:
+    a doc-keyed join between two tables bucketed on doc_id plans ZERO
+    shuffle Exchanges, while the identical join on plain frames plans
+    two. (Broadcast disabled so bucketing, not broadcast, is what
+    removes the shuffle.)"""
+    import pyspark.sql.functions as F
+
+    from loggie_spark.layout import save_bucketed
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stats = docs.select("doc_id", F.length("text").alias("n"))
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        save_bucketed(docs, "pl_docs_b", "doc_id", buckets=4)
+        save_bucketed(stats, "pl_stats_b", "doc_id", buckets=4)
+        j = spark.table("pl_docs_b").join(spark.table("pl_stats_b"), "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        bucketed = plan.count("Exchange") - plan.count("BroadcastExchange")
+        plan2 = docs.join(stats, "doc_id")._jdf.queryExecution().executedPlan().toString()
+        control = plan2.count("Exchange") - plan2.count("BroadcastExchange")
+        assert bucketed == 0, plan
+        assert control >= 2
+        assert j.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS pl_docs_b")
+        spark.sql("DROP TABLE IF EXISTS pl_stats_b")
