@@ -57,3 +57,50 @@ def test_bucketed_layout_joins_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS pl_docs_b")
         spark.sql("DROP TABLE IF EXISTS pl_stats_b")
+
+
+def test_salted_repartition_spreads_heavy_route(spark):
+    """Certify the skew story: with salt=s, a single dominant
+    (sink, route) pair lands on multiple writer partitions instead of
+    one straggler task; a partition_key override forces co-location
+    back to one partition (the kafka partitionKey contract)."""
+    import pyspark.sql.functions as F
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.lit("b0").alias("_bucket"),
+        F.lit("kafka").alias("_sink"),
+        F.lit("hot-topic").alias("_route_key"),
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit(None).cast("string").alias("_partition_key"),
+    )
+    salt = 8
+    part_hash = F.pmod(
+        F.xxhash64(F.coalesce(F.col("_partition_key"), F.col("doc_id"))),
+        F.lit(salt),
+    )
+    # Disable AQE for the observation only: at test size AQE correctly
+    # coalesces the tiny salted partitions back together (they are far
+    # below advisoryPartitionSizeInBytes); at scale a heavy route's
+    # salted partitions exceed it and stay split — the static layout
+    # is what certifies the mechanism.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        spread = df.repartition(
+            F.col("_bucket"), F.col("_sink"), F.col("_route_key"), part_hash
+        )
+        n_parts = (
+            spread.select(F.spark_partition_id().alias("p")).distinct().count()
+        )
+        assert n_parts >= 2  # the hot route fans across writer tasks
+
+        pinned = df.withColumn("_partition_key", F.lit("k1"))
+        spread2 = pinned.repartition(
+            F.col("_bucket"), F.col("_sink"), F.col("_route_key"), part_hash
+        )
+        assert (
+            spread2.select(F.spark_partition_id().alias("p")).distinct().count()
+            == 1
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
