@@ -2963,3 +2963,40 @@ def td_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from loggie_spark.operators.sampling import group_sample
 
     return group_sample(_t(spark, sf_dir, "documents"), k=5)
+
+
+# ===========================================================================
+# th_heavy_hitters — per-type top-k users by event count
+# ===========================================================================
+
+
+@register(
+    "th_heavy_hitters",
+    oracle="""
+    SELECT event_type, user_id, n, rnk FROM (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+             CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY count(*) DESC, user_id) AS INT) AS rnk
+      FROM events GROUP BY event_type, user_id
+    ) t WHERE rnk <= 5
+    """,
+)
+def th_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter identification: top-5 users by event count per
+    event type — the query that FINDS the skewed keys the pipeline's
+    salted writes defuse. Count aggregation first (map-side combined,
+    shuffles (type, user, count) scalars), then a rank window over the
+    group-count frame — cardinality |types × users|, a fraction of the
+    event stream; never a sort of raw events."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("user_id")
+    )
+    return counts.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).filter(F.col("rnk") <= 5)
