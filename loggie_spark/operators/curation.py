@@ -263,3 +263,46 @@ def boilerplate_fraction(
         .otherwise(F.lit(0.0))
         .alias("boilerplate_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain filtering (CCNet/RefinedWeb-style source gating)
+# ---------------------------------------------------------------------------
+
+URL_RE = r"https?://([A-Za-z0-9.-]+)(/[^\s]*)?"
+
+
+def domain_filter(
+    docs: DataFrame,
+    blocklist: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Web-curation source gating: extract every URL's registrable
+    domain from the text, flag documents that cite a blocklisted
+    domain — the first stage of CCNet/RefinedWeb-style pipelines
+    (filter by where the text came from / what it links to, before
+    any content scoring).
+
+    Pure codegen: one ``regexp_extract_all`` per row for the domains
+    (no Python), and the blocklist — inherently a curated, bounded
+    list — compiles to an in-row ``arrays_overlap`` against a literal
+    array, so there is no join at all; at the 10⁶-domain blocklist
+    scale you swap the literal for a broadcast join on the exploded
+    domain column (same frame shape).
+
+    Returns ``(id_col, n_urls, domains, blocked)``.
+    """
+    domains = F.array_distinct(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(1))
+    )
+    n_urls = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(URL_RE), F.lit(0))
+    )
+    block = F.array(*[F.lit(d) for d in blocklist])
+    return docs.select(
+        F.col(id_col),
+        n_urls.cast("int").alias("n_urls"),
+        F.array_sort(domains).alias("domains"),
+        F.arrays_overlap(domains, block).alias("blocked"),
+    )

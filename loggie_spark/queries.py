@@ -3000,3 +3000,69 @@ def th_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn(
         "rnk", F.row_number().over(w).cast("int")
     ).filter(F.col("rnk") <= 5)
+
+
+# ===========================================================================
+# td_url_filter — domain extraction + blocklist gating
+# ===========================================================================
+
+_URL_BLOCK = ["bad7.example.com", "bad13.example.com"]
+
+
+@register(
+    "td_url_filter",
+    oracle=f"""
+    WITH synth AS (
+      SELECT event_id AS doc_id,
+             'visit http://site' || CAST(user_id % 20 AS VARCHAR)
+               || '.example.com/p/' || CAST(event_id % 7 AS VARCHAR)
+               || ' and ' ||
+             CASE WHEN event_id % 7 = 0
+                  THEN 'https://bad' || CAST(CASE WHEN event_id % 2 = 0
+                       THEN 7 ELSE 13 END AS VARCHAR) || '.example.com/x'
+                  ELSE 'plain text no link' END AS text
+      FROM events
+    ),
+    ex AS (
+      SELECT doc_id, text,
+             list_sort(list_distinct(
+               regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)(/[^\\s]*)?', 1))) AS domains,
+             len(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)(/[^\\s]*)?', 0)) AS n_urls
+      FROM synth
+    )
+    SELECT doc_id, CAST(n_urls AS INT) AS n_urls,
+           array_to_string(domains, ',') AS domains,
+           len(list_intersect(domains,
+               {_URL_BLOCK!r})) > 0 AS blocked
+    FROM ex
+    """,
+)
+def td_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain extraction + blocklist gating (operators/curation.py:
+    domain_filter) over URL-bearing text synthesized from events (the
+    same fixture pattern the pl_* parse queries use). One
+    regexp_extract_all per row + an in-row literal-array overlap — no
+    join, no Python."""
+    from loggie_spark.operators.curation import domain_filter
+
+    ev = _t(spark, sf_dir, "events")
+    bad = (
+        F.when(F.col("event_id") % 2 == 0, F.lit("7")).otherwise(F.lit("13"))
+    )
+    synth = ev.select(
+        F.col("event_id").alias("doc_id"),
+        F.concat(
+            F.lit("visit http://site"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/p/"),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit(" and "),
+            F.when(
+                F.col("event_id") % 7 == 0,
+                F.concat(F.lit("https://bad"), bad, F.lit(".example.com/x")),
+            ).otherwise(F.lit("plain text no link")),
+        ).alias("text"),
+    )
+    return domain_filter(synth, _URL_BLOCK).withColumn(
+        "domains", F.array_join("domains", ",")
+    )

@@ -815,3 +815,20 @@ def test_kmeans_refine_tightens_cells(spark):
     assert len(cents) == 4
     mean1 = assigned.select(F.avg("cos")).collect()[0][0]
     assert mean1 >= mean0 - 1e-9
+
+
+def test_domain_filter(spark):
+    from loggie_spark.operators.curation import domain_filter
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="see https://evil.org/x and http://good.com/y"),
+            Row(doc_id=2, text="no links at all"),
+            Row(doc_id=3, text="https://good.com/a http://good.com/b"),
+        ]
+    )
+    out = {r.doc_id: r for r in domain_filter(df, ["evil.org"]).collect()}
+    assert out[1].blocked and out[1].n_urls == 2
+    assert out[1].domains == ["evil.org", "good.com"]
+    assert not out[2].blocked and out[2].n_urls == 0
+    assert not out[3].blocked and out[3].domains == ["good.com"]
