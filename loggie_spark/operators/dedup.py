@@ -819,3 +819,46 @@ def cluster_survivors(
         ).alias("survivor_id"),
         F.count(F.lit(1)).cast("long").alias("cluster_size"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_words: int = 4,
+    threshold: float = 0.8,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Overlap-coefficient pairs: ``|A∩B| / min(|A|,|B|)`` over word
+    sets — the asymmetric-duplication detector Jaccard misses. A short
+    doc fully quoted inside a long one scores overlap 1.0 but a tiny
+    Jaccard (the union is dominated by the long doc), so
+    quote-inclusion / excerpt dups only surface through this measure.
+    Same deterministic first-``block_words`` blocking and
+    ``bucket_cap`` skew guard as :func:`ngram_jaccard_pairs`.
+
+    Returns (id_a, id_b, overlap) with id_a < id_b.
+    """
+    words = tokenize(F.col(text_col))
+    base = spread_small_input(df).select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(words).alias("_set"),
+        F.array_join(F.slice(words, 1, block_words), " ").alias("_block"),
+    )
+    base, keys = _cap_buckets(base, ["_block"], bucket_cap)
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col("l._id") < F.col("r._id")
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    cand = l.join(r, cond)
+    inter = F.size(F.array_intersect("l._set", "r._set"))
+    denom = F.least(F.size("l._set"), F.size("r._set"))
+    ov = F.round(inter.cast("double") / denom.cast("double"), 4)
+    return (
+        cand.select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            ov.alias("overlap"),
+        )
+        .filter(F.col("overlap") >= threshold)
+    )

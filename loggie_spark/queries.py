@@ -3066,3 +3066,35 @@ def td_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_filter(synth, _URL_BLOCK).withColumn(
         "domains", F.array_join("domains", ",")
     )
+
+
+# ===========================================================================
+# td_containment — overlap-coefficient (near-subset) duplicate pairs
+# ===========================================================================
+
+
+@register(
+    "td_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_WORDS_SQL}) AS wset,
+             array_to_string({_WORDS_SQL}[1:2], ' ') AS block
+      FROM documents
+    )
+    SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+           round(CAST(len(list_intersect(l.wset, r.wset)) AS DOUBLE) /
+                 least(len(l.wset), len(r.wset)), 4) AS overlap
+    FROM toks l JOIN toks r ON l.block = r.block AND l.doc_id < r.doc_id
+    WHERE round(CAST(len(list_intersect(l.wset, r.wset)) AS DOUBLE) /
+                least(len(l.wset), len(r.wset)), 4) >= 0.8
+    """,
+)
+def td_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-coefficient near-subset pairs (dedup.containment_pairs):
+    |A∩B| / min(|A|,|B|) catches a short doc quoted inside a long one
+    (overlap 1.0) that Jaccard scores near zero."""
+    from loggie_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), block_words=2, threshold=0.8
+    )

@@ -832,3 +832,19 @@ def test_domain_filter(spark):
     assert out[1].domains == ["evil.org", "good.com"]
     assert not out[2].blocked and out[2].n_urls == 0
     assert not out[3].blocked and out[3].domains == ["good.com"]
+
+
+def test_containment_catches_quote_inclusion(spark):
+    """A short doc fully contained in a long one: overlap 1.0 while
+    Jaccard stays below a typical dedup threshold."""
+    from loggie_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=short), Row(doc_id=2, text=long)]
+    )
+    ov = containment_pairs(df, block_words=2, threshold=0.8).collect()
+    assert [(r.id_a, r.id_b, r.overlap) for r in ov] == [(1, 2, 1.0)]
+    jac = ngram_jaccard_pairs(df, block_words=2, threshold=0.5).collect()
+    assert jac == []  # jaccard misses it
