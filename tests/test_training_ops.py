@@ -848,3 +848,33 @@ def test_containment_catches_quote_inclusion(spark):
     assert [(r.id_a, r.id_b, r.overlap) for r in ov] == [(1, 2, 1.0)]
     jac = ngram_jaccard_pairs(df, block_words=2, threshold=0.5).collect()
     assert jac == []  # jaccard misses it
+
+
+def test_ivf_with_refined_centroids_composes(spark):
+    """kmeans_refine's centroids drop straight into ivf_topk; recall
+    vs brute force must not degrade below the unrefined quantizer on
+    the same (n_cells, nprobe) budget."""
+    import pyspark.sql.functions as F
+
+    from loggie_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_refine,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+
+    def recall(res):
+        truth = {
+            (r.query_id, r.neighbor_id)
+            for r in brute_force_topk(q, emb, k=3).collect()
+        }
+        got = {(r.query_id, r.neighbor_id) for r in res.collect()}
+        return len(truth & got) / len(truth)
+
+    base = recall(ivf_topk(q, emb, k=3, n_cells=4, nprobe=2))
+    _, cents = kmeans_refine(emb, n_cells=4, iters=2)
+    refined = recall(ivf_topk(q, emb, k=3, n_cells=4, nprobe=2, centroids=cents))
+    assert refined >= base - 0.15  # same budget, no collapse
+    assert refined > 0.5
