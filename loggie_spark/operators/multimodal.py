@@ -233,3 +233,102 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         (F.col("id") % 5000 + 40).cast("int").alias("duration_ms"),
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def _resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """REAL nearest-neighbor resize for P6 PPM — pure numpy indexing
+    (decode header, gather source rows/cols, re-emit canonical PPM)."""
+    import numpy as np
+
+    meta = _decode_ppm(payload)
+    w, h = meta["width"], meta["height"]
+    # locate pixel offset the same way _decode_ppm does
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1
+    px = np.frombuffer(payload, np.uint8, w * h * 3, pos).reshape(h, w, 3)
+    ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+    out = px[ys][:, xs]
+    return b"P6\n%d %d\n255\n" % (out_w, out_h) + out.tobytes()
+
+
+def resize_media(
+    df: DataFrame,
+    width: int,
+    height: int,
+    strict: bool = False,
+    batch_rows: int = 256,
+) -> DataFrame:
+    """mapInPandas resize stage: image payloads come back re-encoded
+    at (width, height) with updated metadata; the transform is NARROW
+    (payload never shuffles) and byte-bounded per chunk like
+    decode_and_featurize. PPM resizes for REAL (pure numpy
+    nearest-neighbor); formats needing PIL pass through unchanged —
+    or raise under ``strict=True``."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows].copy()
+
+                def one(p):
+                    b = bytes(p) if p is not None else b""
+                    if b[:2] == b"P6":
+                        return _resize_ppm(b, width, height)
+                    if strict:
+                        raise NotImplementedError(
+                            "resize beyond PPM needs PIL (not installed)"
+                        )
+                    return b
+
+                chunk["payload"] = chunk["payload"].map(one)
+                is_ppm = chunk["payload"].map(
+                    lambda b: bytes(b)[:2] == b"P6" if b is not None else False
+                )
+                chunk["width"] = (
+                    pd.Series([width] * len(chunk), index=chunk.index)
+                    .where(is_ppm, chunk["width"])
+                    .astype("Int32")
+                )
+                chunk["height"] = (
+                    pd.Series([height] * len(chunk), index=chunk.index)
+                    .where(is_ppm, chunk["height"])
+                    .astype("Int32")
+                )
+                yield chunk[
+                    [
+                        "media_id",
+                        "kind",
+                        "payload",
+                        "mime",
+                        "width",
+                        "height",
+                        "duration_ms",
+                    ]
+                ]
+
+    return df.mapInPandas(process, RESIZED_SCHEMA)

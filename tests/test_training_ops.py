@@ -878,3 +878,30 @@ def test_ivf_with_refined_centroids_composes(spark):
     refined = recall(ivf_topk(q, emb, k=3, n_cells=4, nprobe=2, centroids=cents))
     assert refined >= base - 0.15  # same budget, no collapse
     assert refined > 0.5
+
+
+def test_resize_media_real_ppm(spark):
+    """4x4 PPM resizes to 2x2 by nearest-neighbor (top-left gather);
+    non-image payloads pass through untouched."""
+    from loggie_spark.operators.multimodal import resize_media
+
+    px = bytes(range(4 * 4 * 3))
+    ppm = b"P6\n4 4\n255\n" + px
+    media = spark.createDataFrame(
+        [
+            ("i1", "image", bytearray(ppm), "image/x-portable-pixmap", None, None, None),
+            ("a1", "audio", bytearray(b"not-an-image"), "audio/wav", None, None, None),
+        ],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    out = {r.media_id: r for r in resize_media(media, 2, 2).collect()}
+    got = bytes(out["i1"].payload)
+    assert got.startswith(b"P6\n2 2\n255\n")
+    import numpy as np
+
+    src = np.frombuffer(px, np.uint8).reshape(4, 4, 3)
+    expect = src[[0, 2]][:, [0, 2]].tobytes()
+    assert got[len(b"P6\n2 2\n255\n"):] == expect
+    assert (out["i1"].width, out["i1"].height) == (2, 2)
+    assert bytes(out["a1"].payload) == b"not-an-image"
