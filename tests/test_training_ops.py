@@ -905,3 +905,39 @@ def test_resize_media_real_ppm(spark):
     assert got[len(b"P6\n2 2\n255\n"):] == expect
     assert (out["i1"].width, out["i1"].height) == (2, 2)
     assert bytes(out["a1"].payload) == b"not-an-image"
+
+
+def test_span_dedup_unique_corpus_keeps_everything(spark):
+    """Invariant: with no duplicated spans anywhere, every span
+    survives and the reconstruction round-trips the original text."""
+    import hashlib
+
+    from loggie_spark.operators.curation import span_dedup
+
+    docs = [(i, " ".join(f"u{i}w{j}" for j in range(37))) for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in span_dedup(df, span_words=10).collect()}
+    for i, text in docs:
+        assert out[i].n_spans == out[i].n_kept == 4
+        assert out[i].clean_hash == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_token_window_dedup_matches_span_semantics(spark):
+    """The token-domain op and the text-domain op implement the same
+    keeper rule: on a corpus where tokens are 1:1 with chars, both
+    keep the same per-doc window counts."""
+    from loggie_spark.operators.curation import span_dedup
+    from loggie_spark.operators.dedup import token_window_dedup
+
+    texts = [(1, "a b c d e f"), (2, "a b c d x y"), (3, "q r s t u v")]
+    tdf = spark.createDataFrame(texts, "doc_id long, text string")
+    spans = {r.doc_id: r.n_kept for r in span_dedup(tdf, span_words=2).collect()}
+    seq = spark.createDataFrame(
+        [(str(i), [ord(w) for w in t.split()]) for i, t in texts],
+        "doc_id string, tokens array<int>",
+    )
+    wins = {
+        int(r.doc_id): r.n_kept
+        for r in token_window_dedup(seq, window=2).collect()
+    }
+    assert spans == wins
