@@ -941,3 +941,35 @@ def test_token_window_dedup_matches_span_semantics(spark):
         for r in token_window_dedup(seq, window=2).collect()
     }
     assert spans == wins
+
+
+def test_audio_segments_real_wav(spark):
+    """Constant-amplitude PCM: every full segment's RMS equals the
+    amplitude; the tail segment is shorter; non-WAV rows emit nothing."""
+    import struct
+
+    from loggie_spark.operators.multimodal import audio_segments
+
+    sr, amp, n = 8000, 1000, 20_000  # 2.5 s
+    data = struct.pack("<%dh" % n, *([amp] * n))
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [
+            ("w1", "audio", bytearray(wav), "audio/wav", None, None, None),
+            ("x1", "image", bytearray(b"nope"), "", None, None, None),
+        ],
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int",
+    )
+    rows = sorted(
+        audio_segments(media, segment_ms=1000).collect(), key=lambda r: r.seg
+    )
+    assert [r.media_id for r in rows] == ["w1", "w1", "w1"]
+    assert [r.n_samples for r in rows] == [8000, 8000, 4000]
+    assert [r.start_ms for r in rows] == [0, 1000, 2000]
+    assert all(r.rms == "1000.0000" for r in rows)
