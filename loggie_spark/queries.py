@@ -3098,3 +3098,65 @@ def td_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _t(spark, sf_dir, "documents"), block_words=2, threshold=0.8
     )
+
+
+# ===========================================================================
+# Driver-window ordering
+# ===========================================================================
+# The driver's correctness gate runs the FIRST 50 entries of
+# ``__spark_entry__.queries()`` in registration order.  The registry is
+# larger than 50, so ordering decides which queries get a hard driver
+# CORRECTNESS row each round.  Queries listed in ``_DRIVER_PRIORITY`` are
+# moved to the front (in list order); everything else follows in original
+# registration order.  Round-4 policy (VERDICT r3 item #1): the 25 queries
+# that never had a driver row (every round-3 addition plus the r2
+# stragglers) come first, then any NEW queries added this round, then the
+# long-green anchors — so the union of CORRECTNESS_r03 ∪ r04 covers the
+# whole registry.  ADD NEW QUERIES TO THIS LIST or they will sit past the
+# cap with no driver row.
+
+_DRIVER_PRIORITY: list[str] = [
+    # -- never driver-checked before r4 (r3 additions + r2 stragglers) --
+    "pl_multiline",
+    "pl_default_injection",
+    "td_token_chunk",
+    "td_seq_pack",
+    "td_sample_mix",
+    "pl_arrow_ingest",
+    "pl_error_policy",
+    "td_curation_v2",
+    "td_curation_pipeline",
+    "td_span_dedup",
+    "td_vocab_topk",
+    "td_bigram_lm",
+    "td_token_window_dedup",
+    "td_corpus_report",
+    "td_dedup_incremental",
+    "td_curation_v3",
+    "td_epoch_order",
+    "td_cluster_survivors",
+    "th_sessionize",
+    "td_tokenize_ids",
+    "td_kmeans_refine",
+    "td_group_sample",
+    "th_heavy_hitters",
+    "td_url_filter",
+    "td_containment",
+    # -- new round-4 queries go here (before the anchors) --
+]
+
+
+def _apply_driver_order() -> None:
+    prio = [q for q in _DRIVER_PRIORITY if q in QUERIES]
+    missing = [q for q in _DRIVER_PRIORITY if q not in QUERIES]
+    if missing:  # a typo here would silently waste a driver slot
+        raise RuntimeError(f"_DRIVER_PRIORITY names unknown queries: {missing}")
+    seen = set(prio)
+    order = prio + [q for q in QUERIES if q not in seen]
+    for d in (QUERIES, ORACLES):
+        snap = {k: d[k] for k in order if k in d}
+        d.clear()
+        d.update(snap)
+
+
+_apply_driver_order()

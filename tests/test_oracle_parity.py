@@ -96,6 +96,43 @@ def test_query_matches_oracle(spark, duck, name):
     assert s == d, f"{name}: value mismatch at {mismatch}: {[(s[i], d[i]) for i in mismatch]}"
 
 
+def test_every_query_has_oracle():
+    """Every registered query carries a DuckDB oracle — a registry entry
+    without one silently downgrades to the driver's weaker rows-only check."""
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    missing = sorted(set(qs) - set(oracles))
+    assert not missing, f"queries without an oracle: {missing}"
+
+
+def test_driver_cap_coverage():
+    """The driver gate runs only the FIRST 50 of queries(); make silent
+    window-misses loud.  Every registered query must have a green row in
+    the union of all CORRECTNESS_r*.json files OR sit inside the current
+    first-50 window (so it gets its row next driver run)."""
+    import glob
+    import json
+    import os
+
+    covered: set[str] = set()
+    for path in glob.glob(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r*.json")):
+        try:
+            rows = json.load(open(path))
+        except (OSError, json.JSONDecodeError):
+            continue
+        covered |= {
+            k
+            for k, v in rows.items()
+            if isinstance(v, dict) and v.get("rows_match") and v.get("err") is None
+        }
+    window = list(entrymod.queries())[:50]
+    uncovered = sorted(set(entrymod.queries()) - covered - set(window))
+    assert not uncovered, (
+        f"queries past the driver's 50-row cap with NO driver CORRECTNESS row "
+        f"in any round: {uncovered} — reorder _DRIVER_PRIORITY in "
+        f"loggie_spark/queries.py"
+    )
+
+
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
