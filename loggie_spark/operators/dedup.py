@@ -409,6 +409,10 @@ def ngram_jaccard_pairs(
         F.array_distinct(words).alias("_set"),
         F.array_join(F.slice(words, 1, block_words), " ").alias("_block"),
     )
+    # Empty word sets would divide 0/0 -> NaN, and Spark orders NaN above
+    # every number so `NaN >= threshold` is TRUE — drop them before the
+    # join (two empty docs are not a meaningful overlap pair anyway).
+    base = base.filter(F.size("_set") > 0)
     base, keys = _cap_buckets(base, ["_block"], bucket_cap)
     l, r = base.alias("l"), base.alias("r")
     cond = F.col("l._id") < F.col("r._id")
@@ -813,9 +817,12 @@ def cluster_survivors(
     Returns ``(cluster_id, survivor_id, cluster_size)``.
     """
     joined = clusters.join(scores.select(id_col, score_col), id_col)
+    # min_by over (-score, id): highest score wins, ties -> smallest id.
+    # Negating the (numeric) SCORE rather than the id keeps string doc
+    # ids working (unary minus on a string throws under ANSI mode).
     return joined.groupBy("cluster_id").agg(
-        F.max_by(
-            F.col(id_col), F.struct(F.col(score_col), -F.col(id_col))
+        F.min_by(
+            F.col(id_col), F.struct(-F.col(score_col), F.col(id_col))
         ).alias("survivor_id"),
         F.count(F.lit(1)).cast("long").alias("cluster_size"),
     )
@@ -845,6 +852,10 @@ def containment_pairs(
         F.array_distinct(words).alias("_set"),
         F.array_join(F.slice(words, 1, block_words), " ").alias("_block"),
     )
+    # Empty word sets would divide 0/0 -> NaN, and Spark orders NaN above
+    # every number so `NaN >= threshold` is TRUE — drop them before the
+    # join (two empty docs are not a meaningful overlap pair anyway).
+    base = base.filter(F.size("_set") > 0)
     base, keys = _cap_buckets(base, ["_block"], bucket_cap)
     l, r = base.alias("l"), base.alias("r")
     cond = F.col("l._id") < F.col("r._id")

@@ -145,17 +145,68 @@ def _decode_wav(payload: bytes) -> dict:
     }
 
 
+def _pil_decode(payload: bytes) -> dict:
+    """REAL JPEG/PNG decode via PIL when the cluster image ships it
+    (this container does not — see ``_HAVE_PIL`` probe). ``feat_hash``
+    is the md5 of the decoded RGB pixel buffer, matching ``_decode_ppm``'s
+    content-hash semantics."""
+    import hashlib
+    import io
+
+    from PIL import Image  # noqa: import gated by _HAVE_PIL
+
+    img = Image.open(io.BytesIO(payload))
+    img = img.convert("RGB")
+    return {
+        "feat_hash": hashlib.md5(img.tobytes()).hexdigest(),
+        "width": img.width,
+        "height": img.height,
+        "duration_ms": None,
+    }
+
+
+def _probe_pil() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_HAVE_PIL = _probe_pil()
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
 def _decode_media(payload: bytes, strict: bool) -> dict:
     """Sniff magic bytes and route to a real codec where one exists;
-    fall back to the deterministic fake (or raise under ``strict``)."""
-    if payload[:2] == b"P6":
-        return _decode_ppm(payload)
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        return _decode_wav(payload)
+    fall back to the deterministic fake (or raise under ``strict``).
+
+    A payload that merely STARTS with the right magic can still be
+    corrupt (truncated header, short fmt chunk) — untrusted corpus media
+    must never crash the whole stage, so real-codec failures fall back to
+    the deterministic fake under ``strict=False`` and re-raise under
+    ``strict=True``."""
+    try:
+        if payload[:2] == b"P6":
+            return _decode_ppm(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return _decode_wav(payload)
+        if _HAVE_PIL and (
+            payload[:3] == _JPEG_MAGIC or payload[:8] == _PNG_MAGIC
+        ):
+            return _pil_decode(payload)
+    except Exception:
+        if strict:
+            raise
+        return _fake_decode(payload)
     if strict:
         raise NotImplementedError(
             "no real codec for this payload: PPM and PCM WAV decode "
-            "in-container; JPEG/PNG/MP4 need PIL/ffmpeg (not installed)"
+            "in-container (JPEG/PNG too when PIL is on the cluster "
+            "image); MP4 needs ffmpeg (not installed)"
         )
     return _fake_decode(payload)
 
@@ -298,25 +349,32 @@ def resize_media(
                 def one(p):
                     b = bytes(p) if p is not None else b""
                     if b[:2] == b"P6":
-                        return _resize_ppm(b, width, height)
+                        # corrupt-but-P6-magic payloads pass through
+                        # unchanged (marked un-resized) rather than
+                        # crashing the stage on untrusted media
+                        try:
+                            return _resize_ppm(b, width, height), True
+                        except Exception:
+                            if strict:
+                                raise
+                            return b, False
                     if strict:
                         raise NotImplementedError(
                             "resize beyond PPM needs PIL (not installed)"
                         )
-                    return b
+                    return b, False
 
-                chunk["payload"] = chunk["payload"].map(one)
-                is_ppm = chunk["payload"].map(
-                    lambda b: bytes(b)[:2] == b"P6" if b is not None else False
-                )
+                pairs = chunk["payload"].map(one)
+                chunk["payload"] = pairs.map(lambda t: t[0])
+                resized = pairs.map(lambda t: t[1])
                 chunk["width"] = (
                     pd.Series([width] * len(chunk), index=chunk.index)
-                    .where(is_ppm, chunk["width"])
+                    .where(resized, chunk["width"])
                     .astype("Int32")
                 )
                 chunk["height"] = (
                     pd.Series([height] * len(chunk), index=chunk.index)
-                    .where(is_ppm, chunk["height"])
+                    .where(resized, chunk["height"])
                     .astype("Int32")
                 )
                 yield chunk[
@@ -370,22 +428,29 @@ def audio_segments(
                     b = bytes(p) if p is not None else b""
                     if not (b[:4] == b"RIFF" and b[8:12] == b"WAVE"):
                         continue
-                    sr = nch = bits = None
-                    data = b""
-                    pos = 12
-                    while pos + 8 <= len(b):
-                        cid, csize = struct.unpack_from("<4sI", b, pos)
-                        body = b[pos + 8 : pos + 8 + csize]
-                        if cid == b"fmt ":
-                            _f, nch, sr, _bps, _al, bits = struct.unpack_from(
-                                "<HHIIHH", body, 0
-                            )
-                        elif cid == b"data":
-                            data = body
-                        pos += 8 + csize + (csize & 1)
-                    if not sr or bits != 16 or not nch:
+                    # corrupt-but-RIFF-magic payloads (short fmt chunk,
+                    # odd-length data) skip rather than crash the stage
+                    try:
+                        sr = nch = bits = None
+                        data = b""
+                        pos = 12
+                        while pos + 8 <= len(b):
+                            cid, csize = struct.unpack_from("<4sI", b, pos)
+                            body = b[pos + 8 : pos + 8 + csize]
+                            if cid == b"fmt ":
+                                _f, nch, sr, _bps, _al, bits = struct.unpack_from(
+                                    "<HHIIHH", body, 0
+                                )
+                            elif cid == b"data":
+                                data = body
+                            pos += 8 + csize + (csize & 1)
+                        if not sr or bits != 16 or not nch:
+                            continue
+                        samples = np.frombuffer(
+                            data[: len(data) - (len(data) % (2 * nch))], "<i2"
+                        ).astype(np.float64)
+                    except Exception:
                         continue
-                    samples = np.frombuffer(data, "<i2").astype(np.float64)
                     if nch > 1:
                         samples = samples.reshape(-1, nch).mean(axis=1)
                     per_seg = max(1, sr * segment_ms // 1000)

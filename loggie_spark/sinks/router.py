@@ -225,8 +225,8 @@ def write_routed_iceberg(df: DataFrame, table: str) -> None:
     - rotation-retention analogs are ``expire_snapshots`` +
       ``remove_orphan_files`` table maintenance.
 
-    Uses the DataFrameWriterV2 API (`createOrReplace` only if absent;
-    normal path is append into the existing spec).
+    Uses the DataFrameWriterV2 API (`create` with the fan-out partition
+    spec on first write; normal path is append into the existing spec).
     """
     spark = df.sparkSession
     if not iceberg_available(spark):
@@ -236,10 +236,13 @@ def write_routed_iceberg(df: DataFrame, table: str) -> None:
             "configured catalog (spark.sql.catalog.<name>), or use the "
             "parquet path (write_routed)."
         )
-    try:
+    # Probe existence explicitly rather than catch-all around append():
+    # a genuine append failure (schema mismatch, auth, commit conflict)
+    # must surface as itself, not as a confusing 'table already exists'
+    # from a blind create() retry.
+    if spark.catalog.tableExists(table):
         df.writeTo(table).append()
-    except Exception:
-        # First write: create with the fan-out partition spec.
+    else:
         df.writeTo(table).partitionedBy(F.col(SINK_COL), F.col(ROUTE_COL)).create()
 
 

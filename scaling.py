@@ -152,12 +152,16 @@ def main() -> None:
                 existing = json.load(f)
         except (OSError, json.JSONDecodeError):
             existing = {}
+    pair = {k: result[k] for k in ("n_seq", "levels", "scaling_efficiency_N_to_4N")}
     if "pairs" in existing:
-        existing["pairs"].append(
-            {k: result[k] for k in ("n_seq", "levels", "scaling_efficiency_N_to_4N")}
-        )
+        existing["pairs"].append(pair)
         existing["scaling_efficiency_N_to_4N"] = result["scaling_efficiency_N_to_4N"]
         result = existing
+    else:
+        # First write (or corrupt/absent file): emit the pairs-list
+        # format from the start so the NEXT run appends instead of
+        # clobbering this measurement.
+        result = {**result, "pairs": [pair]}
     with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
 

@@ -708,6 +708,36 @@ def test_cluster_survivors_prefers_quality(spark):
     )
     out2 = {r.cluster_id: r for r in cluster_survivors(clusters, scores_tie).collect()}
     assert out2[1].survivor_id == 1
+    # string doc ids (the 'doc-…' form the sequences tables use) must
+    # work too — the tie-break negates the SCORE, never the id
+    clusters_s = spark.createDataFrame(
+        [Row(doc_id="doc-b", cluster_id=1), Row(doc_id="doc-a", cluster_id=1)]
+    )
+    scores_s = spark.createDataFrame(
+        [Row(doc_id="doc-a", q=0.5), Row(doc_id="doc-b", q=0.5)]
+    )
+    out3 = {r.cluster_id: r for r in cluster_survivors(clusters_s, scores_s).collect()}
+    assert out3[1].survivor_id == "doc-a"
+
+
+def test_containment_and_jaccard_empty_doc_guard(spark):
+    """Two empty docs share the empty-string block; without a guard the
+    overlap is 0/0 = NaN and Spark's NaN >= threshold is TRUE — assert
+    no phantom pair is emitted (and no crash)."""
+    from loggie_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id="d1", text=""),
+            Row(doc_id="d2", text="   "),
+            Row(doc_id="d3", text="real words here"),
+            Row(doc_id="d4", text="real words here"),
+        ]
+    )
+    pairs = containment_pairs(df, block_words=2, threshold=0.8).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("d3", "d4")}
+    jpairs = ngram_jaccard_pairs(df, block_words=2, threshold=0.5).collect()
+    assert {(r.id_a, r.id_b) for r in jpairs} == {("d3", "d4")}
 
 
 def test_word_run_counts_property(spark):
@@ -973,3 +1003,82 @@ def test_audio_segments_real_wav(spark):
     assert [r.n_samples for r in rows] == [8000, 8000, 4000]
     assert [r.start_ms for r in rows] == [0, 1000, 2000]
     assert all(r.rms == "1000.0000" for r in rows)
+
+
+def test_multimodal_corrupt_magic_fallback(spark):
+    """Payloads that START with a real-codec magic but are corrupt must
+    not crash the stage (untrusted corpus media): under strict=False
+    decode falls back to the deterministic fake, resize passes through
+    un-resized, audio segmentation skips; under strict=True the decode
+    error surfaces."""
+    import hashlib
+
+    import pytest
+
+    from loggie_spark.operators.multimodal import (
+        audio_segments,
+        decode_and_featurize,
+        resize_media,
+    )
+
+    bad_ppm = b"P6\n4"                      # truncated header -> int(b'')
+    bad_ppm2 = b"P6\n# comment never ends"  # comment loop runs off the end
+    bad_wav = b"RIFF\x10\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00"  # short fmt
+    schema = (
+        "media_id string, kind string, payload binary, mime string, "
+        "width int, height int, duration_ms int"
+    )
+    rows = [
+        ("p1", "image", bytearray(bad_ppm), "", None, None, None),
+        ("p2", "image", bytearray(bad_ppm2), "", None, None, None),
+        ("w1", "audio", bytearray(bad_wav), "", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, schema)
+
+    got = {r.media_id: r for r in decode_and_featurize(media).collect()}
+    assert got["p1"].feat_hash == hashlib.md5(bad_ppm).hexdigest()  # fake
+    assert got["w1"].duration_ms is None
+
+    with pytest.raises(Exception):
+        decode_and_featurize(media, strict=True).collect()
+
+    out = {r.media_id: r for r in resize_media(media, 2, 2).collect()}
+    assert bytes(out["p1"].payload) == bad_ppm  # pass-through, untouched
+    assert out["p1"].width is None  # NOT stamped with the target size
+
+    assert audio_segments(media).collect() == []
+
+
+def test_multimodal_pil_probe_path(spark, monkeypatch):
+    """When PIL is present (probed at import), JPEG/PNG route through the
+    real decoder; exercised here with a monkeypatched codec since the
+    container lacks PIL."""
+    import loggie_spark.operators.multimodal as mm
+
+    jpeg = b"\xff\xd8\xff\xe0fakejpegbytes"
+    monkeypatch.setattr(mm, "_HAVE_PIL", True)
+    monkeypatch.setattr(
+        mm,
+        "_pil_decode",
+        lambda p: {
+            "feat_hash": "pil-" + str(len(p)),
+            "width": 640,
+            "height": 480,
+            "duration_ms": None,
+        },
+    )
+    got = mm._decode_media(jpeg, strict=True)
+    assert got == {
+        "feat_hash": "pil-" + str(len(jpeg)),
+        "width": 640,
+        "height": 480,
+        "duration_ms": None,
+    }
+    # without PIL the same payload is a declared stub: strict raises,
+    # lax falls back to the deterministic fake
+    monkeypatch.setattr(mm, "_HAVE_PIL", False)
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm._decode_media(jpeg, strict=True)
+    assert mm._decode_media(jpeg, strict=False) == mm._fake_decode(jpeg)
