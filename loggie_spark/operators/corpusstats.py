@@ -99,6 +99,7 @@ def bigram_lm_scores(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_count: int = 1,
 ) -> DataFrame:
     """CCNet-style LM fluency scoring, self-trained on the corpus: an
     MLE bigram model P(w2 | w1) = c(w1,w2) / c(w1·) is estimated from
@@ -117,11 +118,19 @@ def bigram_lm_scores(
     100 TB shape: two scalar aggregations build the model (bigram
     counts, context counts — both map-side combined); the per-doc
     score is one join of (id, w1, w2) scalars against the model table
-    (vocab²-bounded; AQE broadcasts it when small, degrades to a
-    shuffle join when not) and one groupBy(id). Text never shuffles.
+    and one groupBy(id). The model side is EXPLICITLY broadcast: the
+    probe stream (one row per bigram occurrence, skewed on natural
+    keys like "of the") must never ride a shuffle — a sort-merge join
+    here would be the classic skew bottleneck, and broadcast-hash is
+    immune (no probe-side exchange at all). ``min_count`` is the
+    CCNet-style vocab floor that bounds the broadcast: at corpus scale
+    set it ≥ 2-5 so the model stays MiB-sized (rare bigrams carry no
+    fluency signal anyway); bigrams pruned by the floor are excluded
+    from both ``n_bigrams`` and the mean. Text never shuffles.
 
     Returns ``(id_col, n_bigrams, lm_score)``; docs with fewer than
-    two words get ``n_bigrams = 0`` and a NULL score.
+    two words (or none surviving the floor) get ``n_bigrams = 0`` and
+    a NULL score.
     """
     # Materialize the word array before the lambda walk — Catalyst
     # re-inlines expression trees into every element_at reference, so
@@ -149,11 +158,15 @@ def bigram_lm_scores(
     # context counts roll up from the bigram counts (vocab²-sized), not
     # from a second pass over the corpus: c(w1·) = Σ_w2 c(w1,w2).
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    model = c12.join(c1, "w1").select(
-        "w1", "w2", (F.col("c12") / F.col("c1")).alias("p")
+    # c(w1·) sums over ALL bigrams (the true MLE denominator) even when
+    # the floor prunes which (w1,w2) rows survive into the model.
+    model = (
+        c12.filter(F.col("c12") >= F.lit(int(min_count)))
+        .join(c1, "w1")
+        .select("w1", "w2", (F.col("c12") / F.col("c1")).alias("p"))
     )
     scored = (
-        doc_bg.join(model, ["w1", "w2"])
+        doc_bg.join(F.broadcast(model), ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),
@@ -183,20 +196,20 @@ def corpus_report(
     docs: DataFrame,
     text_col: str = "text",
     group_col: str = "source",
-    exact: bool = True,
+    exact: bool = False,
 ) -> DataFrame:
     """Per-source corpus health report: doc counts, word totals and
     length percentiles — the dashboard frame a curation pipeline
     publishes next to every snapshot.
 
-    ``exact=True`` uses ``percentile_disc`` (discrete inverse
-    distribution — the value semantics DuckDB's ``quantile_disc``
-    reproduces bit-exactly, so the report itself is oracle-checkable).
-    Exact percentiles buffer each group's values in the aggregation —
-    fine for per-source groups up to ~10^8 rows; at full 100 TB scale
-    set ``exact=False`` for ``approx_percentile`` (t-digest, bounded
-    memory, map-side combinable) and accept ±ε on the percentiles;
-    counts/sums/means are exact either way.
+    The DEFAULT is ``exact=False``: ``approx_percentile`` (t-digest,
+    bounded memory, map-side combinable) — the plan that survives a
+    popular source at 100 TB, at ±ε on the percentiles.  ``exact=True``
+    uses ``percentile_disc`` (discrete inverse distribution — the value
+    semantics DuckDB's ``quantile_disc`` reproduces bit-exactly, so the
+    report is oracle-checkable); exact percentiles buffer each group's
+    values in the aggregation, fine up to ~10^8 rows per group.
+    Counts/sums/means are exact either way.
     """
     from loggie_spark.operators.dedup import tokenize
 

@@ -147,6 +147,31 @@ def ivf_centroids(
     return [(i, [float(x) for x in r._v]) for i, r in enumerate(rows)]
 
 
+def save_centroids(
+    spark, cents: list[tuple[int, list[float]]], path: str
+) -> None:
+    """Persist a quantizer (from :func:`ivf_centroids` or
+    :func:`kmeans_refine`) as a tiny parquet table ``(cell, centroid)``.
+
+    A standing corpus should train its quantizer ONCE and reuse it:
+    without persistence every :func:`ivf_topk` call re-runs the
+    corpus-wide hash-ordered TakeOrdered (or Lloyd refinement) just to
+    rebuild the same few-KB centroid list. The table is n_cells rows —
+    driver/executor cost of reloading is microseconds."""
+    spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
+    """Load a persisted quantizer for ``ivf_topk(..., centroids=...)`` /
+    ``kmeans_refine`` reuse — the second and every later query against a
+    standing corpus never rescans it for centroids."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    return [(int(r.cell), [float(x) for x in r.centroid]) for r in rows]
+
+
 def _cell_scores(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """array<struct<cos,cid>> of rounded cosine vs every centroid —
     struct ordering gives (max cos, then max cid) argmax/sort for free."""
@@ -226,6 +251,7 @@ def kmeans_refine(
     iters: int = 1,
     c_id: str = "vec_id",
     c_vec: str = "embedding",
+    max_members: int | None = 4096,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Lloyd-refined quantizer over the hash-seeded IVF init: assign
     every vector to its max-cosine centroid, recompute each centroid
@@ -243,9 +269,15 @@ def kmeans_refine(
     100 TB shape: per iteration one narrow assignment pass (centroid
     set is a broadcast literal, same contract as IVF/LSH) + one
     groupBy(cell) whose shuffle carries (cell, id, vector) — k·dim
-    floats return to the driver, never the corpus. For huge corpora
-    run the refinement on a deterministic sample (hash-bounded
-    filter) — Lloyd on a sample is the standard IVF training recipe.
+    floats return to the driver, never the corpus. ``max_members``
+    ENFORCES the sample-bounded training recipe: each cell's mean folds
+    at most that many members (the ``max_members`` smallest by
+    deterministic (md5-hash, id) order — no RNG, retry-safe), so a
+    popular cell can never blow the per-group aggregation buffer at
+    scale. Lloyd on a sample is the standard IVF training recipe;
+    ``max_members=None`` disables the cap (exact whole-corpus mode).
+    The rank window partitions by ``cell`` — the same key the mean
+    aggregation groups on — so both run off ONE Exchange.
 
     Returns (assignments ``(c_id, cell, cos)``, final centroids).
     """
@@ -261,11 +293,23 @@ def kmeans_refine(
             best.getField("cos").alias("cos"),
         )
 
+    from loggie_spark.functions.hashing import md5_60bit
+
     for _ in range(iters):
         assigned = assign(cents)
+        members = assigned
+        if max_members is not None:
+            w = Window.partitionBy("cell").orderBy(
+                md5_60bit(F.col(c_id).cast("string")), c_id
+            )
+            members = (
+                assigned.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= max_members)
+                .drop("_rk")
+            )
         zero = F.array(*[F.lit(0.0) for _ in range(dim)])
         sums = (
-            assigned.groupBy("cell")
+            members.groupBy("cell")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.aggregate(

@@ -2429,7 +2429,9 @@ def td_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition (verified across boundary fractions)."""
     from loggie_spark.operators.corpusstats import corpus_report
 
-    return corpus_report(_t(spark, sf_dir, "documents"))
+    # exact=True pins the oracle-checkable percentile_disc path; the
+    # operator DEFAULT is the bounded-memory t-digest plan.
+    return corpus_report(_t(spark, sf_dir, "documents"), exact=True)
 
 
 # ===========================================================================

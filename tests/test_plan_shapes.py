@@ -104,3 +104,18 @@ def test_salted_repartition_spreads_heavy_route(spark):
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_bigram_lm_score_join_is_broadcast(spark):
+    """The bigram-LM probe stream (one row per bigram OCCURRENCE, skewed
+    on natural keys) must never ride a shuffle: the model side is
+    explicitly broadcast, so the plan carries a BroadcastHashJoin and no
+    SortMergeJoin on the score join."""
+    plan = (
+        QUERIES["td_bigram_lm"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

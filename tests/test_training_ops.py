@@ -591,10 +591,11 @@ def test_corpus_report_exact_and_approx(spark):
     df = spark.createDataFrame(
         [Row(doc_id=i, source="s", text=" ".join(["w"] * (i + 1))) for i in range(11)]
     )
-    r = corpus_report(df).collect()[0]
+    r = corpus_report(df, exact=True).collect()[0]
     assert (r.n_docs, r.total_words) == (11, 66)
     assert (r.p50_words, r.p90_words, r.p99_words) == (6, 10, 11)
-    ra = corpus_report(df, exact=False).collect()[0]
+    # DEFAULT is the bounded-memory t-digest plan (exact=False)
+    ra = corpus_report(df).collect()[0]
     assert ra.n_docs == 11 and abs(ra.p50_words - 6) <= 1
 
 
@@ -1082,3 +1083,91 @@ def test_multimodal_pil_probe_path(spark, monkeypatch):
     with pytest.raises(NotImplementedError):
         mm._decode_media(jpeg, strict=True)
     assert mm._decode_media(jpeg, strict=False) == mm._fake_decode(jpeg)
+
+
+def test_kmeans_refine_max_members_caps_skewed_cell(spark):
+    """A popular cell folds only its max_members deterministically
+    chosen members (smallest (md5-hash, id)) — the aggregation-buffer
+    bound that keeps Lloyd refinement safe at scale."""
+    import hashlib
+
+    from loggie_spark.operators.similarity import kmeans_refine
+
+    vecs = {
+        "v1": [1.0, 0.0],
+        "v2": [0.9, 0.1],
+        "v3": [0.8, 0.2],
+        "v4": [0.7, 0.3],
+        "v5": [0.6, 0.4],
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vecs.items()], "vec_id string, embedding array<double>"
+    )
+    # every vector lands in the single cell -> maximally skewed
+    _, capped = kmeans_refine(df, n_cells=1, iters=1, max_members=2)
+    _, full = kmeans_refine(df, n_cells=1, iters=1, max_members=None)
+
+    h = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+    sample = sorted(vecs, key=lambda k: (h(k), k))[:2]
+    expect = [
+        sum(vecs[k][i] for k in sample) / 2 for i in range(2)
+    ]
+    assert [round(x, 10) for x in capped[0][1]] == [round(x, 10) for x in expect]
+    assert capped[0][1] != full[0][1]  # the cap genuinely changed the fold
+    # determinism: same sample every run
+    _, again = kmeans_refine(df, n_cells=1, iters=1, max_members=2)
+    assert again[0][1] == capped[0][1]
+
+
+def test_bigram_lm_min_count_floor(spark):
+    """min_count prunes rare bigrams from the model (the CCNet-style
+    vocab floor that bounds the broadcast); pruned bigrams drop out of
+    both n_bigrams and the mean, while the MLE denominator still counts
+    ALL bigrams."""
+    from loggie_spark.operators.corpusstats import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b a b a b"),  # (a,b)x3 (b,a)x2
+            Row(doc_id=2, text="a b z q"),      # (a,b) (b,z) (z,q) — last two unique
+        ]
+    )
+    out = {r.doc_id: r for r in bigram_lm_scores(df, min_count=2).collect()}
+    # doc 2: only (a,b) survives the floor (c(a,b)=4 across the corpus);
+    # p(a->b) = c(a,b)/c(a·) = 4/4 = 1.0; (b,z),(z,q) are pruned
+    assert out[2].n_bigrams == 1
+    assert abs(out[2].lm_score - 1.0) < 1e-9
+    # doc 1: (a,b)x3 p=1.0; (b,a)x2 p=c(b,a)/c(b·)=2/3
+    assert out[1].n_bigrams == 5
+    assert abs(out[1].lm_score - round((3 * 1.0 + 2 * (2 / 3)) / 5, 4)) < 1e-9
+
+
+def test_centroid_persistence_skips_corpus_scan(spark, tmp_path, monkeypatch):
+    """save/load round-trips the quantizer exactly, and a query armed
+    with loaded centroids never re-runs the corpus-wide centroid
+    TakeOrdered (certified by making a recompute explode)."""
+    import loggie_spark.operators.similarity as sim
+
+    emb = _embeddings(spark)
+    cents = sim.ivf_centroids(emb, n_cells=2)
+    path = str(tmp_path / "cents")
+    sim.save_centroids(spark, cents, path)
+    loaded = sim.load_centroids(spark, path)
+    assert loaded == cents
+
+    baseline = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_topk(emb.limit(1), emb, k=2, n_cells=2).collect()
+    )
+
+    def boom(*a, **kw):
+        raise AssertionError("ivf_centroids re-ran despite persisted quantizer")
+
+    monkeypatch.setattr(sim, "ivf_centroids", boom)
+    reused = sorted(
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in sim.ivf_topk(
+            emb.limit(1), emb, k=2, n_cells=2, centroids=loaded
+        ).collect()
+    )
+    assert reused == baseline
