@@ -51,6 +51,11 @@ BENCH_QUERIES = [
     "td_curation_v3",
     "th_sessionize",
     "td_tokenize_ids",
+    "td_containment",
+    "td_cluster_survivors",
+    "th_heavy_hitters",
+    "td_group_sample",
+    "td_kmeans_refine",
 ]
 
 
