@@ -297,3 +297,130 @@ def tokenize_to_ids(
             F.coalesce("ids_hash", F.lit(empty_hash)).alias("ids_hash"),
         )
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_count: int = 1,
+) -> DataFrame:
+    """CCNet-style quality bucketing: rank every document inside its
+    group (CCNet uses language; here ``group_col``) by the self-trained
+    bigram-LM fluency score and cut the ranking into head / middle /
+    tail terciles — head is the most-fluent third, the slice CCNet
+    feeds to LM training first.
+
+    Bucket edges are INTEGER arithmetic over the dense rank (r·3 ≤ n
+    etc.), not score quantiles — deterministic, no float thresholds to
+    drift across engines; ties rank by (score, id). Docs with no
+    scorable bigrams sort to the bottom (score coalesced below any
+    probability) and land in tail.
+
+    100 TB shape: :func:`bigram_lm_scores` shapes (broadcast model, no
+    text shuffles) + ONE window over (group, score-rank) whose rows are
+    (id, group, score) scalars. Returns ``(id_col, group_col, bucket)``.
+    """
+    from pyspark.sql import Window
+
+    scores = bigram_lm_scores(docs, text_col, id_col, min_count=min_count)
+    frame = docs.select(id_col, group_col).join(scores, id_col)
+    w = Window.partitionBy(group_col).orderBy(
+        F.coalesce("lm_score", F.lit(-1.0)).desc(), F.col(id_col)
+    )
+    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
+    r = F.row_number().over(w)
+    bucket = (
+        F.when(r * 3 <= n, "head")
+        .when(r * 3 <= n * 2, "middle")
+        .otherwise("tail")
+    )
+    return frame.select(id_col, group_col, bucket.alias("bucket"))
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords. The idf is the RATIONAL
+    form tf/df (document frequency in the denominator, no logarithm):
+    ranking is identical to the log form for fixed tf, and one IEEE
+    division is bit-reproducible across engines where ``ln`` is not.
+
+    100 TB shape: term frequencies come from the in-row run-length
+    pass (:func:`with_word_run_counts` — one shuffled row per DISTINCT
+    word per doc), document frequencies from the same aggregation as
+    :func:`vocab_stats`, joined back BROADCAST (vocab-bounded); the
+    final top-k is a per-doc window over (id, word, score) scalars.
+
+    Returns ``(id_col, rank, word, score)`` with score rounded to 4.
+    """
+    from pyspark.sql import Window
+
+    exploded = with_word_run_counts(spread_small_input(docs), text_col).select(
+        F.col(id_col), F.explode(F.col("_wc")).alias("p")
+    ).select(id_col, F.col("p.word").alias("word"), F.col("p.cnt").alias("cnt"))
+    df_tbl = exploded.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    score = F.col("cnt").cast("double") / F.col("df").cast("double")
+    w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("word"))
+    return (
+        exploded.join(F.broadcast(df_tbl), "word")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "word",
+            F.round(score, 4).alias("score"),
+        )
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    word n-grams that occur in no other document — high novelty marks
+    original content, low novelty marks boilerplate/templated text
+    (the corpus-global complement of the in-doc repetition signals).
+
+    100 TB shape: grams are hashed to 60-bit integers IN-ROW before any
+    wide op, so the gram-frequency shuffle and the join back carry
+    (doc, hash) scalars, never gram strings; the hash is the
+    engine-agnostic md5 family so the DuckDB oracle reproduces it (and
+    any collision) exactly. groupBy(hash) and the join share one
+    partitioning. Returns ``(id_col, n_grams, novelty)``; docs shorter
+    than ``n`` words contribute their whole text as one gram.
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+    from loggie_spark.operators.dedup import word_ngrams
+
+    grams = F.array_distinct(word_ngrams(tokenize(F.col(text_col)), n))
+    base = _materialize(
+        spread_small_input(docs).select(id_col, text_col), {"_gs": grams}
+    )
+    pairs = base.select(
+        F.col(id_col), F.explode("_gs").alias("_g")
+    ).select(id_col, md5_60bit(F.col("_g")).alias("_h"))
+    freq = pairs.groupBy("_h").agg(F.count(F.lit(1)).cast("long").alias("_docs"))
+    per_doc = (
+        pairs.join(freq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.round(
+                F.sum((F.col("_docs") == 1).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+    )
+    return per_doc

@@ -64,3 +64,57 @@ def sessionize(
         .cast("long")
         .alias("duration_sec"),
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: how many users performed stage 1,
+    then stage 2 strictly AFTER their first stage-1 event, then stage 3
+    strictly after that stage-2 event, … — the telemetry rollup behind
+    every activation/conversion dashboard. A user counts for stage i+1
+    only with an event after their EARLIEST qualifying stage-i time
+    (first-touch semantics — deterministic, no path enumeration).
+
+    100 TB shape: per stage one filter (pushed to the scan when
+    ``type_col`` is a partition column) + one groupBy(user) min, then a
+    user-keyed join with the previous stage's (user, ts) scalars — all
+    joins and aggregations share the hash(user) partitioning, so AQE
+    plans one Exchange chain with no wide row ever carried. Stage
+    frames shrink monotonically (conversion only loses users).
+
+    Returns one row per stage: ``(stage, event_type, users)`` with
+    ``stage`` 1-based in funnel order.
+    """
+    assert stages, "funnel needs at least one stage"
+    prev = (
+        events.filter(F.col(type_col) == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    out_rows = [prev]
+    for s in stages[1:]:
+        prev = (
+            events.filter(F.col(type_col) == s)
+            .join(prev.select(user_col, F.col("_t").alias("_pt")), user_col)
+            .filter(F.col(ts_col) > F.col("_pt"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        out_rows.append(prev)
+    counts = [
+        df.agg(F.count(F.lit(1)).cast("long").alias("users")).select(
+            F.lit(i + 1).cast("int").alias("stage"),
+            F.lit(stages[i]).alias("event_type"),
+            "users",
+        )
+        for i, df in enumerate(out_rows)
+    ]
+    result = counts[0]
+    for c in counts[1:]:
+        result = result.unionByName(c)
+    return result

@@ -3102,6 +3102,217 @@ def td_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ===========================================================================
+# Round-4 additions: CCNet buckets, TF-IDF keywords, n-gram novelty,
+# conversion funnel, parse dead-letter routing
+# ===========================================================================
+
+_BIGRAM_CTES = f"""
+    w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([w[i] for i in generate_series(1, len(w)-1)]) AS w1,
+             unnest([w[i+1] for i in generate_series(1, len(w)-1)]) AS w2
+      FROM w WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+    model AS (SELECT w1, w2, CAST(c12 AS DOUBLE)/c1 AS p
+              FROM c12 JOIN c1 USING (w1)),
+    lm AS (
+      SELECT doc_id,
+             round(list_reduce(list_sort(list(p)), (a,b) -> a+b)
+                   / count(*), 4) AS lm_score
+      FROM bg JOIN model USING (w1, w2) GROUP BY doc_id
+    )"""
+
+
+@register(
+    "td_ccnet_buckets",
+    oracle=f"""
+    WITH {_BIGRAM_CTES},
+    scored AS (
+      SELECT d.doc_id, d.source, coalesce(s.lm_score, -1) AS sc
+      FROM documents d LEFT JOIN lm s USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY sc DESC, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    )
+    SELECT doc_id, source,
+           CASE WHEN r*3 <= n THEN 'head'
+                WHEN r*3 <= n*2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+)
+def td_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail quality terciles per source, ranked by
+    the self-trained bigram-LM fluency score (operators/
+    corpusstats.py:ccnet_buckets). Bucket edges are integer rank
+    arithmetic (r*3 <= n), not float quantiles — deterministic and
+    engine-agnostic; DuckDB reproduces rank and bucket exactly."""
+    from loggie_spark.operators.corpusstats import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "td_idf_keywords",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    ranked AS (
+      SELECT doc_id, word, CAST(cnt AS DOUBLE)/df AS sc,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY CAST(cnt AS DOUBLE)/df DESC, word) AS rank
+      FROM tf JOIN dfreq USING (word)
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, word,
+           round(CAST(CAST(sc AS VARCHAR) AS DECIMAL(30,17)), 4) AS score
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def td_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (operators/
+    corpusstats.py:tfidf_keywords): rational tf/df score (no log —
+    same ranking, bit-reproducible), document frequencies broadcast,
+    per-doc window top-k. Oracle rounds through the decimal-cast
+    spelling to reproduce Spark's shortest-repr HALF_UP round."""
+    from loggie_spark.operators.corpusstats import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "td_ngram_novelty",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 3
+        THEN [array_to_string(w[i:i+2], ' ')
+              for i in generate_series(1, len(w) - 2)]
+        ELSE [array_to_string(w, ' ')] END)) AS gram
+      FROM w
+    ),
+    hashed AS (SELECT doc_id, {md5_60bit_sql("gram")} AS h FROM grams),
+    freq AS (SELECT h, count(*) AS docs FROM hashed GROUP BY h)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_grams,
+           round(CAST(CAST(
+             sum(CASE WHEN docs = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) AS VARCHAR) AS DECIMAL(30,17)), 4
+           ) AS novelty
+    FROM hashed JOIN freq USING (h) GROUP BY doc_id
+    """,
+)
+def td_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global 3-gram novelty per document (operators/
+    corpusstats.py:ngram_novelty): the fraction of a doc's distinct
+    word trigrams that occur in no other document. Grams hash to
+    60-bit integers in-row (md5 family), so both wide ops carry
+    scalars and DuckDB reproduces the hash — and any collision —
+    exactly."""
+    from loggie_spark.operators.corpusstats import ngram_novelty
+
+    return ngram_novelty(_t(spark, sf_dir, "documents"), n=3)
+
+
+@register(
+    "th_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, 'view' AS event_type, CAST(count(*) AS BIGINT) AS users FROM s1
+    UNION ALL
+    SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+    """,
+)
+def th_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase with
+    first-touch semantics (operators/sessionize.py:funnel_counts):
+    stage i+1 counts only events strictly after the user's earliest
+    qualifying stage-i event. All stage joins/aggs share the
+    hash(user) partitioning."""
+    from loggie_spark.operators.sessionize import funnel_counts
+
+    return funnel_counts(
+        _t(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+@register(
+    "pl_parse_dlq",
+    oracle="""
+    WITH parsed AS (
+      SELECT event_id,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  WHEN event_type = 'error' THEN '500'
+                  WHEN event_type = 'purchase' THEN '404'
+                  ELSE '200' END AS status
+      FROM events
+    ),
+    fanned AS (
+      SELECT 'kafka' AS sink, 'acc-' || status AS route_key
+      FROM parsed WHERE status IS NOT NULL
+      UNION ALL
+      SELECT 'dlq' AS sink, 'unparsed' AS route_key
+      FROM parsed WHERE status IS NULL
+    )
+    SELECT sink, route_key, CAST(count(*) AS BIGINT) AS cnt
+    FROM fanned GROUP BY sink, route_key
+    """,
+)
+def pl_parse_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing of parse failures: rows whose access-log
+    regex does not match carry the default error policy (_errored
+    gates the rest of the program, row forwards as-is), and the sink
+    selectors split the stream — parsed rows fan out to kafka by
+    status, unparsed rows route to the 'dlq' sink. The production
+    contract for untrusted input: a bad line never kills the job and
+    never silently disappears. Every 5th row is corrupted (no
+    bracketed time / quoted url, so the regex cannot match)."""
+    from loggie_spark.sinks.router import SinkSpec, explode_to_sinks
+
+    ev = _synth_access_line(_t(spark, sf_dir, "events"))
+    ev = ev.withColumn(
+        "body",
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(F.lit("corrupt payload id="), F.col("event_id").cast("string")),
+        ).otherwise(F.col("body")),
+    )
+    program = [
+        {"action": "regex(body)", "pattern": ACCESS_PATTERN},
+        {"action": "add(topic, parsed)"},
+    ]
+    out = apply_program(ev, program).finish()
+    sinks = [
+        SinkSpec("kafka", "acc-${status}", selector="exist(topic)"),
+        SinkSpec("dlq", "unparsed", selector="NOT exist(topic)"),
+    ]
+    routed = explode_to_sinks(out, sinks)
+    return routed.groupBy("sink", "route_key").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================
@@ -3145,6 +3356,11 @@ _DRIVER_PRIORITY: list[str] = [
     "td_url_filter",
     "td_containment",
     # -- new round-4 queries go here (before the anchors) --
+    "td_ccnet_buckets",
+    "td_idf_keywords",
+    "td_ngram_novelty",
+    "th_funnel",
+    "pl_parse_dlq",
 ]
 
 

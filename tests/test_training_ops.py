@@ -1171,3 +1171,75 @@ def test_centroid_persistence_skips_corpus_scan(spark, tmp_path, monkeypatch):
         ).collect()
     )
     assert reused == baseline
+
+
+def test_funnel_counts_first_touch_order(spark):
+    """Stage i+1 counts only events strictly AFTER the user's earliest
+    stage-i event: u1 converts fully; u2 clicked BEFORE viewing (no
+    conversion); u3 views only."""
+    import datetime as dt
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    from loggie_spark.operators.sessionize import funnel_counts
+
+    rows = [
+        (1, t(0), "view"), (1, t(5), "click"), (1, t(9), "purchase"),
+        (2, t(3), "click"), (2, t(4), "view"),
+        (3, t(1), "view"),
+        # u4: purchase before click -> reaches click only
+        (4, t(0), "view"), (4, t(1), "purchase"), (4, t(2), "click"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {r.stage: r.users for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()}
+    assert out == {1: 4, 2: 2, 3: 1}
+
+
+def test_ccnet_buckets_tercile_rule(spark):
+    """Integer-rank terciles: 6 docs in one source split 2/2/2 with the
+    most fluent (template-repetitive) docs in head; unscorable docs
+    (one word) land in tail."""
+    from loggie_spark.operators.corpusstats import ccnet_buckets
+
+    rows = [
+        (1, "s", "a b a b a b a b"),    # highly predictable
+        (2, "s", "a b a b a b"),
+        (3, "s", "c d e f g h"),        # all-unique bigrams
+        (4, "s", "x y z w q r"),
+        (5, "s", "one"),                # no bigrams -> NULL score -> tail
+        (6, "s", "a b c d"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r.bucket for r in ccnet_buckets(df).collect()}
+    assert sorted(out.values()) == ["head", "head", "middle", "middle", "tail", "tail"]
+    assert out[5] == "tail"  # unscorable sorts below every score
+    assert out[1] == "head" and out[2] == "head"  # repetitive = most fluent
+
+
+def test_tfidf_keywords_rare_word_wins(spark):
+    from loggie_spark.operators.corpusstats import tfidf_keywords
+
+    rows = [
+        (1, "common common rare"),
+        (2, "common boring words"),
+        (3, "common words again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.doc_id, r.rank): (r.word, r.score) for r in tfidf_keywords(df, k=2).collect()}
+    # doc 1: 'rare' df=1 cnt=1 -> 1.0; 'common' df=3 cnt=2 -> 0.6667
+    assert out[(1, 1)] == ("rare", 1.0)
+    assert out[(1, 2)] == ("common", 0.6667)
+
+
+def test_ngram_novelty_fraction(spark):
+    from loggie_spark.operators.corpusstats import ngram_novelty
+
+    rows = [
+        (1, "a b c d"),       # grams: abc, bcd
+        (2, "a b c x"),       # grams: abc (shared), bcx (unique)
+        (3, "short"),         # <3 words -> whole text is one gram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.n_grams, r.novelty) for r in ngram_novelty(df, n=3).collect()}
+    assert out[1] == (2, 0.5)   # bcd unique, abc shared
+    assert out[2] == (2, 0.5)
+    assert out[3] == (1, 1.0)
