@@ -1195,24 +1195,27 @@ def test_funnel_counts_first_touch_order(spark):
 
 
 def test_ccnet_buckets_tercile_rule(spark):
-    """Integer-rank terciles: 6 docs in one source split 2/2/2 with the
-    most fluent (template-repetitive) docs in head; unscorable docs
-    (one word) land in tail."""
+    """Integer-rank terciles: 6 docs in one source split 2/2/2.
+    MLE-on-itself scoring gives p=1.0 to bigrams whose context is
+    unambiguous, so docs 3/4 (every bigram deterministic given w1)
+    score a perfect 1.0 and take head; docs 1/2 mix p(a->b)=1.0 with
+    p(b->a)=5/6 (contexts 'b a' vs 'b c' compete) and take middle;
+    doc 6 (1/6 on 'b c') and the unscorable doc 5 (NULL sorts below
+    every score) take tail."""
     from loggie_spark.operators.corpusstats import ccnet_buckets
 
     rows = [
-        (1, "s", "a b a b a b a b"),    # highly predictable
+        (1, "s", "a b a b a b a b"),
         (2, "s", "a b a b a b"),
-        (3, "s", "c d e f g h"),        # all-unique bigrams
+        (3, "s", "c d e f g h"),
         (4, "s", "x y z w q r"),
-        (5, "s", "one"),                # no bigrams -> NULL score -> tail
+        (5, "s", "one"),
         (6, "s", "a b c d"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     out = {r.doc_id: r.bucket for r in ccnet_buckets(df).collect()}
-    assert sorted(out.values()) == ["head", "head", "middle", "middle", "tail", "tail"]
-    assert out[5] == "tail"  # unscorable sorts below every score
-    assert out[1] == "head" and out[2] == "head"  # repetitive = most fluent
+    assert out == {3: "head", 4: "head", 2: "middle", 1: "middle",
+                   6: "tail", 5: "tail"}
 
 
 def test_tfidf_keywords_rare_word_wins(spark):
