@@ -306,3 +306,107 @@ def domain_filter(
         F.array_sort(domains).alias("domains"),
         F.arrays_overlap(domains, block).alias("blocked"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score each raw document by how
+    target-like its hashed-bigram features are, for importance-weighted
+    selection of a raw corpus toward a small target domain.
+
+    Feature model: word bigrams hashed into ``n_buckets`` buckets
+    (engine-agnostic md5 family) with add-one smoothing on both the
+    target and raw unigram-of-bucket distributions. The per-doc score
+    is the MEAN of its buckets' smoothed probability ratios
+    ``((c_T+1)·(N_R+B)) / ((c_R+1)·(N_T+B))`` — a rational surrogate of
+    DSIR's mean log-likelihood ratio: same feature model and the same
+    ordering direction (target-like buckets score > 1, raw-typical
+    buckets < 1), but every arithmetic step is exact-integer products
+    and one IEEE division, so DuckDB reproduces the score bit-for-bit
+    where ``ln`` could drift an ulp. At production scale flip to
+    log-space sums (cross-engine parity is not a constraint there) and
+    mind the c·N integer products against 2^53.
+
+    100 TB shape: the raw corpus reduces to (id, bucket) scalar pairs
+    in-row; bucket-count aggregations are map-side combined and
+    B-bounded; the model (≤ n_buckets rows) is BROADCAST into the score
+    join; the two corpus totals are config-sized driver scalars. Text
+    never shuffles. Returns ``(id_col, n_feats, dsir_score)`` — docs
+    with no bigrams score NULL.
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+    from loggie_spark.operators.dedup import _materialize
+
+    def pairs(frame: DataFrame) -> DataFrame:
+        base = _materialize(
+            spread_small_input(frame).select(id_col, text_col),
+            {"_w": tokenize(F.col(text_col))},
+        )
+        w = F.col("_w")
+        bigrams = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i), F.element_at(w, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return base.select(
+            F.col(id_col), F.explode(bigrams).alias("_bg")
+        ).select(
+            id_col, F.pmod(md5_60bit(F.col("_bg")), F.lit(n_buckets)).alias("_b")
+        )
+
+    raw_pairs = pairs(docs)
+    tgt_pairs = pairs(target)
+    c_r = raw_pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    c_t = tgt_pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
+    # Corpus totals: two single-scalar driver collects (config-sized).
+    n_r = raw_pairs.count()
+    n_t = tgt_pairs.count()
+    model = (
+        c_r.join(c_t, "_b", "full_outer")
+        .select(
+            "_b",
+            (
+                (F.coalesce("_ct", F.lit(0)) + 1).cast("double")
+                * F.lit(float(n_r + n_buckets))
+                / (
+                    (F.coalesce("_cr", F.lit(0)) + 1).cast("double")
+                    * F.lit(float(n_t + n_buckets))
+                )
+            ).alias("_r"),
+        )
+    )
+    scored = (
+        raw_pairs.join(F.broadcast(model), "_b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_feats"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(F.collect_list("_r")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dsir_score"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            "dsir_score",
+        )
+    )

@@ -3313,6 +3313,54 @@ def pl_parse_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@register(
+    "td_dsir_weights",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([w[i] || ' ' || w[i+1]
+                     for i in generate_series(1, len(w)-1)]) AS bgs
+      FROM w WHERE len(w) >= 2
+    ),
+    pairs AS (SELECT doc_id, {md5_60bit_sql("bgs")} % 1024 AS b FROM bg),
+    tpairs AS (SELECT * FROM pairs WHERE doc_id % 97 = 0),
+    cr AS (SELECT b, count(*) AS cr FROM pairs GROUP BY b),
+    ct AS (SELECT b, count(*) AS ct FROM tpairs GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM pairs) AS nr,
+                   (SELECT count(*) FROM tpairs) AS nt),
+    model AS (
+      SELECT b,
+             (CAST(coalesce(ct, 0) + 1 AS DOUBLE) * (nr + 1024)) /
+             (CAST(coalesce(cr, 0) + 1 AS DOUBLE) * (nt + 1024)) AS r
+      FROM cr FULL OUTER JOIN ct USING (b), tot
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_feats,
+             round(CAST(CAST(
+               list_reduce(list_sort(list(r)), (a, x) -> a + x) / count(*)
+               AS VARCHAR) AS DECIMAL(30,17)), 4) AS dsir_score
+      FROM pairs JOIN model USING (b) GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats, s.dsir_score
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights toward a target domain
+    (operators/curation.py:dsir_weights; Xie et al. 2023): hashed-
+    bigram bucket features, add-one smoothing, rational probability-
+    ratio mean (exact-integer products + one IEEE division — DuckDB
+    reproduces it bit-for-bit where ln would drift). Target set =
+    docs with doc_id %% 97 == 0, the same convention as
+    td_decontaminate's benchmark split."""
+    from loggie_spark.operators.curation import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, docs.filter(F.col("doc_id") % 97 == 0))
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================
@@ -3361,6 +3409,7 @@ _DRIVER_PRIORITY: list[str] = [
     "td_ngram_novelty",
     "th_funnel",
     "pl_parse_dlq",
+    "td_dsir_weights",
 ]
 
 

@@ -1246,3 +1246,28 @@ def test_ngram_novelty_fraction(spark):
     assert out[1] == (2, 0.5)   # bcd unique, abc shared
     assert out[2] == (2, 0.5)
     assert out[3] == (1, 1.0)
+
+
+def test_dsir_weights_target_like_scores_higher(spark):
+    """Docs resembling the target domain carry a higher mean
+    probability ratio than raw-typical docs; featureless (one-word)
+    docs score NULL with n_feats 0."""
+    from loggie_spark.operators.curation import dsir_weights
+
+    rows = [
+        (1, "medical trial patient dosage medical trial"),
+        (2, "medical trial patient outcome"),
+        (3, "football score goal referee football match"),
+        (4, "football referee goal"),
+        (5, "word"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.filter("doc_id <= 2")  # medical = target domain
+    out = {r.doc_id: r for r in dsir_weights(docs, target).collect()}
+    assert out[5].n_feats == 0 and out[5].dsir_score is None
+    assert out[1].dsir_score > out[3].dsir_score
+    assert out[2].dsir_score > out[4].dsir_score
+    # every medical doc beats every football doc
+    assert min(out[1].dsir_score, out[2].dsir_score) > max(
+        out[3].dsir_score, out[4].dsir_score
+    )
