@@ -1271,3 +1271,36 @@ def test_dsir_weights_target_like_scores_higher(spark):
     assert min(out[1].dsir_score, out[2].dsir_score) > max(
         out[3].dsir_score, out[4].dsir_score
     )
+
+
+def test_training_shard_export_manifest_protocol(spark, tmp_path):
+    """Data-first / manifest-last export: a complete export verifies;
+    deleting a shard directory (simulated torn export) makes verify
+    raise naming the drifted/missing shard; an export with no manifest
+    is rejected outright."""
+    import os
+    import shutil
+
+    import pytest
+
+    from loggie_spark.layout import verify_training_shards, write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"doc-{i}", i % 3, 100 + i) for i in range(30)],
+        "seq long, doc_id string, shard int, n_tok long",
+    )
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(df, out)
+    assert manifest["total_rows"] == 30
+    assert manifest["total_tokens"] == sum(100 + i for i in range(30))
+    assert set(manifest["shards"]) == {"0", "1", "2"}
+    verify_training_shards(spark, out)  # round-trips clean
+
+    shutil.rmtree(os.path.join(out, "shard=2"))
+    with pytest.raises(RuntimeError, match="missing=\\['2'\\]"):
+        verify_training_shards(spark, out)
+
+    out2 = str(tmp_path / "aborted")
+    df.write.partitionBy("shard").parquet(out2)  # no manifest
+    with pytest.raises(RuntimeError, match="aborted export"):
+        verify_training_shards(spark, out2)
