@@ -249,3 +249,39 @@ def test_iceberg_write_capability_gate(spark):
     df = spark.createDataFrame([("a", "t", "x")], ["_sink", "_route_key", "body"])
     with _pytest.raises(RuntimeError, match="Iceberg runtime not on the classpath"):
         write_routed_iceberg(df, "cat.db.routed")
+
+
+def test_run_curation_job_end_to_end(spark, tmp_path):
+    """The spark-submit curation entrypoint runs against real testdata:
+    funnel counts are monotone non-increasing, the shard export
+    verifies against its manifest, and the report lands next to it."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import run_curation
+
+    from loggie_spark.layout import verify_training_shards
+
+    out = str(tmp_path / "curated")
+    report = run_curation.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out,
+            "--n-shards", "4",
+            "--master", "local[4]",
+        ]
+    )
+    assert report["input_docs"] == 500
+    assert (
+        report["input_docs"]
+        >= report["after_exact_dedup"]
+        >= report["after_near_dedup"]
+        >= report["after_quality_gates"]
+        >= 1
+    )
+    assert report["exported_rows"] == report["after_quality_gates"]
+    verify_training_shards(spark, out)
+    on_disk = json.load(open(os.path.join(out, "_curation_report.json")))
+    assert on_disk == report
