@@ -3362,6 +3362,93 @@ def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# th_asof_join / th_range_join — temporal joins (operators/joins.py)
+# ===========================================================================
+
+
+@register(
+    "th_asof_join",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, ts, max(value) AS last_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT v.event_id, v.user_id, d.last_purchase
+    FROM views v ASOF LEFT JOIN dim d
+      ON v.user_id = d.user_id AND v.ts >= d.ts
+    """,
+)
+def th_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment (operators/joins.py:asof_join): every
+    'view' event picks up the user's LATEST purchase value at-or-before
+    its timestamp — the feature-store lookup an equi-join would leak
+    future values into. The union + last(ignorenulls) window
+    construction pays ONE hash(user) shuffle; DuckDB's native ASOF
+    JOIN is the oracle."""
+    from loggie_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(views, dim, key="user_id", ts="ts", dim_ts="ts").select(
+        "event_id", "user_id", "last_purchase"
+    )
+
+
+@register(
+    "th_range_join",
+    oracle="""
+    WITH windows AS (
+      SELECT w,
+             TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL 6 HOUR AS start_ts,
+             TIMESTAMP '2024-01-01 00:00:00' + w * INTERVAL 6 HOUR
+               + INTERVAL 90 MINUTE AS end_ts
+      FROM generate_series(0, 59) t(w)
+    )
+    SELECT w.w AS window_id, CAST(count(e.event_id) AS BIGINT) AS n_events
+    FROM windows w LEFT JOIN events e
+      ON e.ts >= w.start_ts AND e.ts < w.end_ts
+    GROUP BY w.w
+    """,
+)
+def th_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment (operators/joins.py:range_join): events
+    inside 90-minute maintenance windows spaced every 6 hours. The
+    operator buckets BOTH sides to an hour grain and equi-joins on the
+    grain (intervals explode to their covered grains), so the plan is
+    a hash join — never the BroadcastNestedLoopJoin a naive inequality
+    join compiles to (forbidden by the registry plan guard)."""
+    from loggie_spark.operators.joins import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    win = spark.range(60).select(
+        F.col("id").cast("int").alias("window_id"),
+        F.expr(
+            "timestampadd(HOUR, 6 * id, TIMESTAMP_NTZ'2024-01-01 00:00:00')"
+        ).alias("start_ts"),
+        F.expr(
+            "timestampadd(MINUTE, 90 + 360 * id, TIMESTAMP_NTZ'2024-01-01 00:00:00')"
+        ).alias("end_ts"),
+    )
+    hits = range_join(ev, win, ts="ts", bucket_sec=3600)
+    counts = hits.groupBy("window_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return win.select("window_id").join(counts, "window_id", "left").select(
+        "window_id", F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events")
+    )
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 # The driver's correctness gate runs the FIRST 50 entries of
@@ -3410,6 +3497,8 @@ _DRIVER_PRIORITY: list[str] = [
     "th_funnel",
     "pl_parse_dlq",
     "td_dsir_weights",
+    "th_asof_join",
+    "th_range_join",
 ]
 
 

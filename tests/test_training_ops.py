@@ -1304,3 +1304,58 @@ def test_training_shard_export_manifest_protocol(spark, tmp_path):
     df.write.partitionBy("shard").parquet(out2)  # no manifest
     with pytest.raises(RuntimeError, match="aborted export"):
         verify_training_shards(spark, out2)
+
+
+def test_asof_join_semantics(spark):
+    """<= semantics, per-key isolation, left-join nulls, and strict
+    mode excluding the equal-timestamp dimension row."""
+    import datetime as dt
+
+    from loggie_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    dim = spark.createDataFrame(
+        [(1, t(0), "bronze"), (1, t(10), "gold"), (2, t(5), "silver")],
+        "user_id long, ts timestamp, plan string",
+    )
+    ev = spark.createDataFrame(
+        [(100, 1, t(4)), (101, 1, t(10)), (102, 1, t(30)),
+         (103, 2, t(1)), (104, 3, t(9))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r.event_id: r.plan for r in asof_join(ev, dim, key="user_id").collect()}
+    assert out == {
+        100: "bronze",   # before the upgrade
+        101: "gold",     # equal ts -> dim row counts (<=)
+        102: "gold",
+        103: None,       # user 2's dim row is later
+        104: None,       # unknown user
+    }
+    strict = {r.event_id: r.plan for r in
+              asof_join(ev, dim, key="user_id", strict=True).collect()}
+    assert strict[101] == "bronze"  # strictly-before excludes the t(10) row
+
+
+def test_range_join_containment_and_plan(spark):
+    """Half-open [start, end) containment across bucket boundaries;
+    the plan is an equi-join on the grain, never a nested-loop."""
+    import datetime as dt
+
+    from loggie_spark.operators.joins import range_join
+
+    iv = spark.createDataFrame(
+        [("w1", dt.datetime(2024, 1, 1, 1, 0), dt.datetime(2024, 1, 1, 3, 30))],
+        "label string, start_ts timestamp, end_ts timestamp",
+    )
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 59)),   # before
+         (2, dt.datetime(2024, 1, 1, 1, 0)),    # == start -> in
+         (3, dt.datetime(2024, 1, 1, 2, 30)),   # middle bucket
+         (4, dt.datetime(2024, 1, 1, 3, 29)),   # last minute -> in
+         (5, dt.datetime(2024, 1, 1, 3, 30))],  # == end -> out (half-open)
+        "event_id long, ts timestamp",
+    )
+    df = range_join(ev, iv, bucket_sec=3600)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert sorted(r.event_id for r in df.collect()) == [2, 3, 4]
