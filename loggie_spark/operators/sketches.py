@@ -1,0 +1,104 @@
+"""Mergeable frequency sketches: count-min over item streams.
+
+The exact heavy-hitter query (queries.py:th_heavy_hitters) shuffles one
+row per distinct item; at 100 TB an UNBOUNDED-cardinality item domain
+(urls, user agents, raw tokens) makes even that shuffle data-sized. A
+count-min sketch caps the state at depth×width counters regardless of
+corpus size, is mergeable by plain addition (partial aggregation IS the
+merge — map-side combine gives per-task sketches that sum), and answers
+point frequency queries with one-sided error: estimate ≥ true count,
+and ≤ true + εN with probability 1-δ for width = ⌈e/ε⌉, depth =
+⌈ln 1/δ⌉.
+
+Hashing is the engine-agnostic seeded md5 family (functions/hashing.py)
+so a DuckDB oracle rebuilds the identical sketch and estimates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from loggie_spark.functions.hashing import md5_60bit
+
+
+def cms_build(
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Build a count-min sketch over one row per item OCCURRENCE.
+
+    Returns the sketch AS A TABLE ``(seed, bucket, cnt)`` of exactly
+    ``depth × width`` rows (absent cells are implicit zeros) — the
+    representation that makes every sketch operation a DataFrame op:
+    building is one groupBy (map-side combined, so each task reduces
+    its partition to ≤ depth×width partial counters before the
+    shuffle); merging two sketches is ``unionByName + groupBy + sum``;
+    the sketch rides a broadcast into estimate joins.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    hashed = items.select(F.col(item_col).alias("_v"), seeds).select(
+        "seed",
+        _bucket(F.col("_v"), F.col("seed"), width).alias("bucket"),
+    )
+    return hashed.groupBy("seed", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def _bucket(value: Column, seed: Column, width: int) -> Column:
+    # seeded family h_i(v) = md5_60bit(str(i) || '|' || v) — the seed
+    # rides in-band so one expression serves the exploded seed column.
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(seed.cast("string"), F.lit("|"), value.cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(width),
+    ).cast("int")
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches built with identical (depth, width) — counts
+    add cell-wise. This is how per-shard / per-day sketches roll up
+    without touching the raw streams again."""
+    return (
+        a.unionByName(b)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates: for each query item, min over the
+    ``depth`` rows of its bucket counters. The sketch (≤ depth×width
+    rows) is BROADCAST; the query side computes its buckets in-row and
+    probes with an equi-join — no shuffle of either input.
+
+    Returns ``(item_col, est)`` with the one-sided guarantee
+    ``est ≥ true count`` (collisions only inflate).
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("seed")
+    probes = queries.select(F.col(item_col), seeds).select(
+        item_col,
+        "seed",
+        _bucket(F.col(item_col), F.col("seed"), width).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"], "left")
+        .groupBy(item_col)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
+    )

@@ -3449,6 +3449,65 @@ def th_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# td_countmin — mergeable count-min frequency sketch
+# ===========================================================================
+
+
+@register(
+    "td_countmin",
+    oracle=f"""
+    WITH w AS (SELECT unnest({_WORDS_SQL}) AS word FROM documents),
+    seeds AS (SELECT unnest(generate_series(0, 3)) AS seed),
+    cells AS (
+      SELECT seed,
+             CAST({md5_60bit_sql("CAST(seed AS VARCHAR) || '|' || word")} % 256
+                  AS INT) AS bucket,
+             count(*) AS cnt
+      FROM w, seeds GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT word, count(*) AS tf FROM w
+      GROUP BY word ORDER BY tf DESC, word LIMIT 20
+    ),
+    probes AS (
+      SELECT t.word, t.tf, s.seed,
+             CAST({md5_60bit_sql("CAST(s.seed AS VARCHAR) || '|' || t.word")} % 256
+                  AS INT) AS bucket
+      FROM top t, seeds s
+    )
+    SELECT p.word, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est,
+           CAST(min(p.tf) AS BIGINT) AS tf
+    FROM probes p LEFT JOIN cells c USING (seed, bucket)
+    GROUP BY p.word
+    """,
+)
+def td_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py): the depth=4, width=256
+    sketch built over every word occurrence, probed with the exact
+    top-20 vocabulary — est ≥ tf one-sided by construction, and the
+    sketch state is 1024 counters no matter the corpus size (the
+    bounded-memory heavy-hitter path where the item domain is
+    unbounded). Hashing is the seeded md5 family, so DuckDB rebuilds
+    the identical sketch, collisions and all."""
+    from loggie_spark.operators.dedup import spread_small_input, tokenize
+    from loggie_spark.operators.sketches import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    words = spread_small_input(docs).select(
+        F.explode(tokenize(F.col("text"))).alias("word")
+    )
+    sketch = cms_build(words, "word", depth=4, width=256)
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("word"))
+        .limit(20)
+    )
+    est = cms_estimate(sketch, top.select("word"), "word", depth=4, width=256)
+    return est.join(top, "word").select("word", "est", "tf")
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 # The driver's correctness gate runs the FIRST 50 entries of
@@ -3499,6 +3558,7 @@ _DRIVER_PRIORITY: list[str] = [
     "td_dsir_weights",
     "th_asof_join",
     "th_range_join",
+    "td_countmin",
 ]
 
 

@@ -134,3 +134,82 @@ def test_multiline_merge_matches_sequential_fold(spark, lines, max_lines):
         for body, first in _multiline_oracle(lines, "S", max_lines)
     )
     assert got == want, (lines, max_lines)
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    dims=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 9)),
+        max_size=15,
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, events, dims):
+    """asof_join == per-row brute force: for each event, the dim row
+    with max ts <= event ts for the same key wins (ties on dim ts:
+    deterministic last-in-sort of the value struct)."""
+    import datetime as dt
+
+    from loggie_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda m: base + dt.timedelta(minutes=m)
+    ev = spark.createDataFrame(
+        [(i, k, t(m)) for i, (k, m) in enumerate(events)],
+        "event_id long, k long, ts timestamp",
+    )
+    # collapse duplicate (k, ts) dim rows like the registered query does
+    # (max value), so the expected answer is single-valued
+    dd = {}
+    for k, m, v in dims:
+        dd[(k, m)] = max(dd.get((k, m), -1), v)
+    dim_rows = [(k, t(m), v) for (k, m), v in sorted(dd.items())]
+    if not dim_rows:
+        dim_rows = [(99, t(0), 0)]  # non-matching placeholder key
+    dim = spark.createDataFrame(dim_rows, "k long, ts timestamp, v long")
+
+    got = {r.event_id: r.v for r in asof_join(ev, dim, key="k").collect()}
+
+    for i, (k, m) in enumerate(events):
+        cands = [(mm, vv) for (kk, mm), vv in dd.items() if kk == k and mm <= m]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, (i, k, m, cands)
+
+
+@given(
+    events=st.lists(st.integers(0, 600), min_size=1, max_size=25),
+    windows=st.lists(
+        st.tuples(st.integers(0, 600), st.integers(1, 200)), max_size=8
+    ),
+)
+@settings(**SETTINGS)
+def test_range_join_matches_bruteforce(spark, events, windows):
+    """range_join == per-row brute force over half-open [start, end)
+    containment, across arbitrary grain boundaries."""
+    import datetime as dt
+
+    from loggie_spark.operators.joins import range_join
+
+    base = dt.datetime(2024, 1, 1)
+    t = lambda m: base + dt.timedelta(minutes=m)
+    ev = spark.createDataFrame(
+        [(i, t(m)) for i, m in enumerate(events)], "event_id long, ts timestamp"
+    )
+    if not windows:
+        windows = [(0, 1)]
+    iv = spark.createDataFrame(
+        [(j, t(s), t(s + d)) for j, (s, d) in enumerate(windows)],
+        "w long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r.event_id, r.w) for r in range_join(ev, iv, bucket_sec=3600).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, m in enumerate(events)
+        for j, (s, d) in enumerate(windows)
+        if s <= m < s + d
+    )
+    assert got == want

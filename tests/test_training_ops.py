@@ -1359,3 +1359,29 @@ def test_range_join_containment_and_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert sorted(r.event_id for r in df.collect()) == [2, 3, 4]
+
+
+def test_countmin_one_sided_and_mergeable(spark):
+    """est >= true count for every item (one-sided error); a wide
+    sketch over few distinct items is exact; merging two half-stream
+    sketches equals the whole-stream sketch."""
+    from loggie_spark.operators.sketches import cms_build, cms_estimate, cms_merge
+
+    rows = [(w,) for w in ["a"] * 50 + ["b"] * 30 + ["c"] * 5 + ["d"] * 1]
+    items = spark.createDataFrame(rows, "word string")
+    q = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("missing",)], "word string")
+
+    sketch = cms_build(items, "word", depth=4, width=64)
+    est = {r.word: r.est for r in cms_estimate(sketch, q, "word", depth=4, width=64).collect()}
+    true = {"a": 50, "b": 30, "c": 5, "d": 1, "missing": 0}
+    for w, t in true.items():
+        assert est[w] >= t
+    # 4 distinct items vs 64 buckets x 4 rows: collisions in every row
+    # are vanishingly unlikely -> exact
+    assert est == true
+
+    half1 = cms_build(spark.createDataFrame(rows[:40], "word string"), "word", depth=4, width=64)
+    half2 = cms_build(spark.createDataFrame(rows[40:], "word string"), "word", depth=4, width=64)
+    merged = cms_merge(half1, half2)
+    est_m = {r.word: r.est for r in cms_estimate(merged, q, "word", depth=4, width=64).collect()}
+    assert est_m == est
