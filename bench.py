@@ -59,6 +59,9 @@ BENCH_QUERIES = [
     "td_ccnet_buckets",
     "td_ngram_novelty",
     "th_funnel",
+    "th_asof_join",
+    "td_countmin",
+    "td_dsir_weights",
 ]
 
 
