@@ -187,3 +187,61 @@ def write_stream_exactly_once(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_countmin(
+    stream: DataFrame,
+    item_col: str,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    available_now: bool = True,
+):
+    """Continuously maintained count-min sketch over a stream — the
+    bounded-state streaming heavy-hitter path when the item domain is
+    unbounded (raw tokens, urls): per micro-batch, build the batch's
+    sketch (≤ depth×width rows, operators/sketches.py:cms_build) and
+    MERGE it into the running sketch table by cell-wise addition
+    (cms_merge — the sketch's mergeability is exactly what makes it
+    streamable without stateful operators or state-store growth).
+
+    Exactly-once by the same batch-partition recipe as
+    :func:`write_stream_exactly_once`: each batch's PARTIAL sketch
+    lands in its own ``_batch=<id>`` partition (replays overwrite, not
+    double-count), and the read side sums partitions — so the "merge"
+    is deferred to read time and the write path stays idempotent.
+    Read the current estimate table with :func:`read_countmin`.
+
+    Returns the started StreamingQuery.
+    """
+    from loggie_spark.operators.sketches import cms_build
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (
+            cms_build(df, item_col, depth=depth, width=width)
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(sketch_dir)
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_countmin(spark, sketch_dir: str) -> DataFrame:
+    """Collapse the per-batch partial sketches into the current global
+    sketch (cell-wise sum — cms_merge over every batch partition)."""
+    return (
+        spark.read.parquet(sketch_dir)
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

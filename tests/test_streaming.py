@@ -182,3 +182,44 @@ def test_write_stream_exactly_once_resume(spark, tmp_path):
     q2.awaitTermination(60)
     got = sorted(r.k for r in spark.read.parquet(out).select("k").collect())
     assert got == ["a", "b", "c"]
+
+
+def test_stream_countmin_matches_batch_sketch(spark, tmp_path):
+    """The continuously-maintained sketch equals the batch sketch over
+    the same items: per-batch partials merged at read time, replays
+    idempotent by batch partition."""
+    from loggie_spark.operators.sketches import cms_build, cms_estimate
+    from loggie_spark.streaming.pipeline import read_countmin, stream_countmin
+
+    src = str(tmp_path / "in")
+    rows = [(w,) for w in ["x"] * 20 + ["y"] * 7 + ["z"] * 3]
+    static = spark.createDataFrame(rows, "word string")
+    static.repartition(3).write.parquet(src)
+
+    stream = spark.readStream.schema("word string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = stream_countmin(
+        stream,
+        "word",
+        sketch_dir=str(tmp_path / "sketch"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        depth=4,
+        width=32,
+    )
+    q.awaitTermination(120)
+
+    merged = read_countmin(spark, str(tmp_path / "sketch"))
+    want = {
+        (r.seed, r.bucket): r.cnt
+        for r in cms_build(static, "word", depth=4, width=32).collect()
+    }
+    got = {(r.seed, r.bucket): r.cnt for r in merged.collect()}
+    assert got == want
+
+    qdf = spark.createDataFrame([("x",), ("y",), ("z",), ("nope",)], "word string")
+    est = {
+        r.word: r.est
+        for r in cms_estimate(merged, qdf, "word", depth=4, width=32).collect()
+    }
+    assert est["x"] >= 20 and est["y"] >= 7 and est["z"] >= 3
