@@ -102,3 +102,61 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("est"))
     )
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter as a table of DISTINCT set bit positions
+    ``(pos)`` — membership's counterpart to :func:`cms_build`'s counter
+    table. At most ``n_bits`` rows regardless of input size; merging
+    two filters is ``union + distinct``; the filter broadcasts into
+    probe joins. k seeded md5 positions per item (same hash family as
+    the sketches and dedup indexes, so DuckDB rebuilds it exactly).
+
+    Use it as the cheap FIRST gate of incremental dedup /
+    decontamination: a Bloom miss proves non-membership (no false
+    negatives), so only Bloom hits proceed to the exact digest join —
+    at web scale that turns "join every shard gram against the corpus
+    index" into "join the ~fp-rate fraction that might match".
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    return (
+        items.select(F.col(item_col).alias("_v"), seeds)
+        .select(_bucket(F.col("_v"), F.col("seed"), n_bits).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    n_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Append ``maybe_member`` to ``probes``: true iff ALL k bit
+    positions of the item are set (the Bloom contract — false
+    positives possible at ~(1-e^{-kn/m})^k, false negatives never).
+
+    The filter table is BROADCAST; the probe side computes its k
+    positions in-row, left-joins on ``pos``, and an all-hits groupBy
+    per item decides membership — no shuffle of the probe stream
+    beyond the per-item rollup.
+    """
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
+    hashed = probes.select(F.col(item_col), seeds).select(
+        item_col,
+        _bucket(F.col(item_col), F.col("seed"), n_bits).alias("pos"),
+    )
+    hit = hashed.join(
+        F.broadcast(bloom.withColumn("_set", F.lit(True))), "pos", "left"
+    )
+    verdict = hit.groupBy(item_col).agg(
+        (F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(False)).cast("int")))
+        .alias("maybe_member")
+    )
+    return probes.join(verdict, item_col, "left")

@@ -3508,6 +3508,81 @@ def td_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# td_bloom_decontaminate — Bloom-gated membership (sketches.py)
+# ===========================================================================
+
+_BLOOM_BITS = 4096
+_BLOOM_K = 4
+
+
+def _bloom_oracle(n: int = _DECON_N, bits: int = _BLOOM_BITS, k: int = _BLOOM_K) -> str:
+    pos = md5_60bit_sql("CAST(seed AS VARCHAR) || '|' || gram")
+    return f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, unnest(CASE WHEN len(w) >= {n}
+          THEN [array_to_string(w[i:i+{n - 1}], ' ')
+                for i in generate_series(1, len(w) - {n - 1})]
+          ELSE [array_to_string(w, ' ')] END) AS gram
+        FROM w
+      ) z
+    ),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    seeds AS (SELECT unnest(generate_series(0, {k - 1})) AS seed),
+    bloom AS (SELECT DISTINCT {pos} % {bits} AS pos FROM bench, seeds),
+    probe AS (SELECT DISTINCT gram FROM grams),
+    phash AS (SELECT gram, seed, {pos} % {bits} AS pos FROM probe, seeds),
+    gver AS (
+      SELECT gram,
+             count(*) = sum(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS mm
+      FROM phash p LEFT JOIN bloom b USING (pos) GROUP BY gram
+    ),
+    hits AS (
+      SELECT DISTINCT g.doc_id FROM grams g JOIN gver v
+      ON g.gram = v.gram AND v.mm
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS flagged
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@register("td_bloom_decontaminate", oracle=_bloom_oracle())
+def td_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated decontamination (operators/sketches.py:bloom_build /
+    bloom_maybe_contains): the benchmark's 13-grams populate a
+    4096-bit / 4-hash Bloom filter, and every corpus gram probes it —
+    flagged docs are a GUARANTEED SUPERSET of td_decontaminate's exact
+    hits (no false negatives), at a filter size independent of the
+    benchmark's. This is the cheap first gate production dedup puts
+    before the exact digest join; the deterministic seeded-md5
+    positions let DuckDB rebuild the identical filter, false positives
+    and all."""
+    from loggie_spark.operators.dedup import spread_small_input, tokenize, word_ngrams
+    from loggie_spark.operators.sketches import bloom_build, bloom_maybe_contains
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = spread_small_input(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_ngrams(tokenize(F.col("text")), _DECON_N))
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    bloom = bloom_build(bench, "gram", n_bits=_BLOOM_BITS, k=_BLOOM_K)
+    probe = grams.select("gram").distinct()
+    hits = bloom_maybe_contains(
+        bloom, probe, "gram", n_bits=_BLOOM_BITS, k=_BLOOM_K
+    ).filter(F.col("maybe_member"))
+    flagged = grams.join(hits.select("gram"), "gram", "left_semi").select(
+        "doc_id"
+    ).distinct()
+    return docs.select("doc_id").join(
+        flagged.withColumn("flagged", F.lit(True)), "doc_id", "left"
+    ).select("doc_id", F.coalesce("flagged", F.lit(False)).alias("flagged"))
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 # The driver's correctness gate runs the FIRST 50 entries of
@@ -3559,6 +3634,7 @@ _DRIVER_PRIORITY: list[str] = [
     "th_asof_join",
     "th_range_join",
     "td_countmin",
+    "td_bloom_decontaminate",
 ]
 
 

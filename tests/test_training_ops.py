@@ -1385,3 +1385,20 @@ def test_countmin_one_sided_and_mergeable(spark):
     merged = cms_merge(half1, half2)
     est_m = {r.word: r.est for r in cms_estimate(merged, q, "word", depth=4, width=64).collect()}
     assert est_m == est
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every inserted item reports maybe_member; a superset relation
+    holds against exact membership; misses are possible but never for
+    members."""
+    from loggie_spark.operators.sketches import bloom_build, bloom_maybe_contains
+
+    members = spark.createDataFrame([(f"gram-{i}",) for i in range(200)], "g string")
+    others = spark.createDataFrame([(f"other-{i}",) for i in range(200)], "g string")
+    bloom = bloom_build(members, "g", n_bits=4096, k=4)
+    got_m = bloom_maybe_contains(bloom, members, "g", n_bits=4096, k=4)
+    assert got_m.filter("NOT maybe_member").count() == 0  # no false negatives
+    fp = bloom_maybe_contains(bloom, others, "g", n_bits=4096, k=4).filter(
+        "maybe_member"
+    ).count()
+    assert fp < 100  # 200 items in 4096 bits, k=4: fp-rate well under 50%
