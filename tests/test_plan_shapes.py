@@ -119,3 +119,26 @@ def test_bigram_lm_score_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_scan_pushdown_and_column_pruning(spark):
+    """The read path must reach the parquet scan with both the filter
+    and the projection: PushedFilters carries the predicate (row-group
+    stats pruning at scale) and ReadSchema carries ONLY the referenced
+    columns — a scan reading all columns for a 2-column projection is
+    wrong at 100 TB."""
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .filter("source = 'src3'")
+        .select("doc_id", "n_chars")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "src3" in plan, plan
+    # ReadSchema lists only the needed columns (filter col + projection)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"doc_id", "n_chars", "source"}, cols
+    assert "text" not in cols  # the wide column stays on disk
