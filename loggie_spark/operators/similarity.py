@@ -331,3 +331,39 @@ def kmeans_refine(
         new = {int(r.cell): [float(x) for x in r.cent] for r in sums}
         cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
     return assign(cents).select(c_id, "cell", "cos"), cents
+
+
+def quantize_embeddings(
+    corpus: DataFrame,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    bits: int = 8,
+) -> DataFrame:
+    """Max-abs symmetric int quantization of an embedding column — the
+    storage transform that shrinks a 100 TB float32 embedding table 4×
+    (int8) before it lands in the ANN layout, at a bounded cosine-
+    recall cost. Per vector: ``scale = max|x|``, ``q_i =
+    floor(x_i·(2^{bits-1}-1)/scale)``.
+
+    ``floor`` (not ``round``) keeps the transform bit-reproducible
+    across engines: Spark rounds the shortest decimal repr HALF_UP
+    while DuckDB rounds the exact binary double, so ties diverge — but
+    multiply, divide and floor are all exactly-rounded IEEE ops with
+    one defined result. Zero vectors quantize to zeros with scale 0.
+
+    Pure narrow Catalyst (one projection, no shuffle, no UDF).
+    Returns ``(c_id, dim, scale, q)`` with q ``array<int>``.
+    """
+    levels = (1 << (bits - 1)) - 1
+    x = F.transform(F.col(c_vec), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    q = F.when(
+        scale > 0,
+        F.transform(x, lambda v: F.floor(v * levels / scale).cast("int")),
+    ).otherwise(F.transform(x, lambda v: F.lit(0)))
+    return corpus.select(
+        F.col(c_id),
+        F.size(c_vec).cast("int").alias("dim"),
+        scale.alias("scale"),
+        q.alias("q"),
+    )

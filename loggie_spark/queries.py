@@ -3583,6 +3583,51 @@ def td_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# td_embed_quantize — int8 embedding storage quantization
+# ===========================================================================
+
+
+@register(
+    "td_embed_quantize",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, len(embedding) AS dim,
+             [CAST(e AS DOUBLE) for e in embedding] AS v
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, dim, v,
+                 list_max([abs(e) for e in v]) AS scale FROM x)
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           round(CAST(CAST(scale AS VARCHAR) AS DECIMAL(30,17)), 6) AS scale,
+           md5(array_to_string(
+             CASE WHEN scale > 0
+               THEN [CAST(CAST(floor(e * 127 / scale) AS INT) AS VARCHAR)
+                     for e in v]
+               ELSE [CAST(0 AS VARCHAR) for e in v] END, ' ')) AS q_hash
+    FROM s
+    """,
+)
+def td_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 max-abs quantization of the embeddings table
+    (operators/similarity.py:quantize_embeddings) — the 4× storage
+    shrink before the ANN layout. The oracle compares the md5 of the
+    space-joined int sequence (arrays don't ride the driver compare)
+    plus the per-vector scale; floor-based quantization makes every
+    int bit-identical across engines."""
+    from loggie_spark.operators.similarity import quantize_embeddings
+
+    out = quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        "dim",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.md5(
+            F.array_join(F.transform("q", lambda v: v.cast("string")), " ")
+        ).alias("q_hash"),
+    )
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 # The driver's correctness gate runs the FIRST 50 entries of
@@ -3635,6 +3680,7 @@ _DRIVER_PRIORITY: list[str] = [
     "th_range_join",
     "td_countmin",
     "td_bloom_decontaminate",
+    "td_embed_quantize",
 ]
 
 

@@ -1402,3 +1402,24 @@ def test_bloom_no_false_negatives(spark):
         "maybe_member"
     ).count()
     assert fp < 100  # 200 items in 4096 bits, k=4: fp-rate well under 50%
+
+
+def test_quantize_embeddings_roundtrip_quality(spark):
+    """Quantized vectors reconstruct within 1/127 of scale per
+    coordinate; zero vectors quantize to zeros with scale 0; the
+    transform is a narrow projection (no shuffle in the plan)."""
+    from loggie_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    r1 = out[1]
+    assert r1.scale == 1.0 and r1.dim == 4
+    for orig, q in zip(rows[0][1], r1.q):
+        assert abs(orig - q * r1.scale / 127) <= r1.scale / 127 + 1e-9
+    assert out[2].scale == 0.0 and list(out[2].q) == [0, 0, 0, 0]
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow projection, no shuffle
