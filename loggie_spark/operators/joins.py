@@ -47,6 +47,12 @@ def asof_join(
     """
     if dim_cols is None:
         dim_cols = [c for c in dim.columns if c not in (key, dim_ts)]
+    clash = sorted(set(dim_cols) & set(events.columns))
+    if clash:  # would emit duplicate column names in the result
+        raise ValueError(
+            f"asof_join: dimension columns {clash} collide with event "
+            "columns — rename one side or pass dim_cols explicitly"
+        )
     e_cols = [c for c in events.columns]
     tag = "_is_event"
     e = events.select(

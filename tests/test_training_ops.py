@@ -1423,3 +1423,17 @@ def test_quantize_embeddings_roundtrip_quality(spark):
     assert out[2].scale == 0.0 and list(out[2].q) == [0, 0, 0, 0]
     plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # narrow projection, no shuffle
+
+
+def test_asof_join_rejects_column_clash(spark):
+    import datetime as dt
+
+    import pytest
+
+    from loggie_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame([(1, 1, t0, 9.0)], "event_id long, k long, ts timestamp, v double")
+    dim = spark.createDataFrame([(1, t0, 5.0)], "k long, ts timestamp, v double")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(ev, dim, key="k")
