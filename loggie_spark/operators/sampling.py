@@ -161,3 +161,47 @@ def group_sample(
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/validation split that cannot leak through near-duplicates:
+    the unit of assignment is the near-dup CLUSTER, not the document.
+    A doc-level hash split puts a validation doc's near-copy in train
+    — the classic eval-contamination bug; here every member of a
+    connected dup component shares the component's min-id label, so
+    the whole cluster lands on one side. Singleton docs split by their
+    own id (equivalently: they are their own cluster).
+
+    Deterministic (seeded md5 of the salted cluster label — no rand(),
+    retry/backfill-safe: re-running on a grown corpus never moves an
+    existing doc across sides unless new edges merge its cluster).
+    Shuffle cost = dup_clusters' scalar label propagation + one
+    left join of (id, cluster) scalars.
+
+    Returns ``(id_col, split_unit, split)`` with split ∈ train|val.
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+    from loggie_spark.operators.dedup import dup_clusters
+
+    clusters = dup_clusters(dup_pairs)
+    unit = F.coalesce(F.col("cluster_id"), F.col(id_col))
+    side = F.when(
+        F.pmod(md5_60bit(F.concat(F.lit(f"{salt}|"), unit.cast("string"))), F.lit(100))
+        < val_pct,
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    return (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            id_col,
+            unit.alias("split_unit"),
+            side.alias("split"),
+        )
+    )

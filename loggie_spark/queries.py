@@ -3628,6 +3628,64 @@ def td_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# td_split_leakage_safe — near-dup-cluster train/val split
+# ===========================================================================
+
+
+@register(
+    "td_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, list_distinct({_WORDS_SQL}) AS wset,
+             array_to_string({_WORDS_SQL}[1:2], ' ') AS block
+      FROM documents
+    ),
+    pairs AS (
+      SELECT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM toks l JOIN toks r ON l.block = r.block AND l.doc_id < r.doc_id
+      WHERE round(CAST(len(list_intersect(l.wset, r.wset)) AS DOUBLE) /
+                  len(list_distinct(l.wset || r.wset)), 4) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+                 FROM reach GROUP BY node),
+    units AS (
+      SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS split_unit
+      FROM documents d LEFT JOIN clusters c USING (doc_id)
+    )
+    SELECT doc_id, split_unit,
+           CASE WHEN {md5_60bit_sql("'split|' || CAST(split_unit AS VARCHAR)")}
+                     % 100 < 10
+                THEN 'val' ELSE 'train' END AS split
+    FROM units
+    """,
+)
+def td_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-cluster train/val split (operators/sampling.py:
+    leakage_safe_split): the assignment unit is the connected dup
+    component, so a validation doc's near-copy can never sit in train
+    — the eval-contamination bug a doc-level hash split has by
+    construction. Same jaccard pairs as td_dup_clusters; the oracle
+    re-derives components by transitive closure and reproduces the
+    salted md5 side assignment exactly."""
+    from loggie_spark.operators.dedup import ngram_jaccard_pairs
+    from loggie_spark.operators.sampling import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, block_words=2, threshold=0.5)
+    return leakage_safe_split(docs, pairs, val_pct=10)
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 # The driver's correctness gate runs the FIRST 50 entries of
@@ -3681,6 +3739,7 @@ _DRIVER_PRIORITY: list[str] = [
     "td_countmin",
     "td_bloom_decontaminate",
     "td_embed_quantize",
+    "td_split_leakage_safe",
 ]
 
 

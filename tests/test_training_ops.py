@@ -1437,3 +1437,27 @@ def test_asof_join_rejects_column_clash(spark):
     dim = spark.createDataFrame([(1, t0, 5.0)], "k long, ts timestamp, v double")
     with pytest.raises(ValueError, match="collide"):
         asof_join(ev, dim, key="k")
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """Every dup pair lands on the same side; singletons split by own
+    id; assignment is deterministic across runs."""
+    from loggie_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    # chain 0-1-2 one cluster; 10-11 another; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: (r.split_unit, r.split) for r in
+           leakage_safe_split(docs, pairs, val_pct=30).collect()}
+    assert out[0] == out[1] == out[2]      # whole component together
+    assert out[10] == out[11]
+    assert out[5][0] == 5                  # singleton unit = own id
+    sides = {s for _, s in out.values()}
+    assert sides == {"train", "val"}       # 30% val over 40 units hits both
+    again = {r.doc_id: (r.split_unit, r.split) for r in
+             leakage_safe_split(docs, pairs, val_pct=30).collect()}
+    assert again == out
