@@ -1336,6 +1336,117 @@ def test_asof_join_semantics(spark):
     assert strict[101] == "bronze"  # strictly-before excludes the t(10) row
 
 
+def test_asof_join_adopts_null_columns_whole(spark):
+    """A dim row with a legitimately NULL column must be adopted WHOLE:
+    the NULL comes along, never that column's value stitched in from an
+    OLDER dim row (the torn-row defect a per-column carry has)."""
+    import datetime as dt
+
+    from loggie_spark.operators.joins import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    dim = spark.createDataFrame(
+        [(1, t(0), "bronze", 10), (1, t(10), "gold", None)],
+        "user_id long, ts timestamp, plan string, credits int",
+    )
+    ev = spark.createDataFrame(
+        [(100, 1, t(5)), (101, 1, t(20))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {r.event_id: (r.plan, r.credits)
+           for r in asof_join(ev, dim, key="user_id").collect()}
+    assert out[100] == ("bronze", 10)
+    # the t(10) row wins whole: credits is NULL, NOT the stale 10
+    assert out[101] == ("gold", None)
+
+
+def test_asof_join_duplicate_dim_ts_deterministic(spark):
+    """Duplicate (key, dim_ts) dimension rows resolve to the LARGEST
+    dim-value struct — deterministically, on every run."""
+    import datetime as dt
+
+    from loggie_spark.operators.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [(1, t0, "aaa"), (1, t0, "zzz"), (1, t0, "mmm")],
+        "user_id long, ts timestamp, plan string",
+    )
+    ev = spark.createDataFrame(
+        [(100, 1, dt.datetime(2024, 1, 2))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    for _ in range(3):
+        got = asof_join(
+            ev.repartition(8), dim.repartition(8), key="user_id"
+        ).collect()
+        assert [r.plan for r in got] == ["zzz"]
+
+
+def test_asof_join_bucketed_equivalent_and_splits_hot_key(spark):
+    """bucket_sec mode returns IDENTICAL results to the unbucketed
+    construction (<=, strict, cross-bucket carry over empty buckets,
+    left-join NULLs) while partitioning the final window by
+    (key, bucket) so one hot key's history spreads across tasks."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from loggie_spark.operators.joins import asof_join
+
+    base = dt.datetime(2024, 1, 1).timestamp()
+    # one hot key: 5000 events over ~14 hours, dim changes every 1000 s,
+    # plus a cold key with sparse rows and an unknown key
+    ev = (
+        spark.range(5000)
+        .select(
+            F.col("id").alias("event_id"),
+            F.lit(1).alias("k"),
+            F.timestamp_seconds(F.lit(base) + F.col("id") * 10).alias("ts"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(90001, 2, dt.datetime(2024, 1, 1, 5)),
+                 (90002, 3, dt.datetime(2024, 1, 1, 6))],
+                "event_id long, k long, ts timestamp",
+            )
+        )
+    )
+    dim = spark.range(50).select(
+        F.lit(1).alias("k"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 1000 + 5).alias("ts"),
+        (F.col("id") * 7).alias("v"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(2, dt.datetime(2024, 1, 1, 4), 999)], "k long, ts timestamp, v long"
+        )
+    )
+    for strict in (False, True):
+        plain = {
+            r.event_id: r.v
+            for r in asof_join(ev, dim, key="k", strict=strict).collect()
+        }
+        bucketed_df = asof_join(
+            ev, dim, key="k", strict=strict, bucket_sec=600
+        )
+        bucketed = {r.event_id: r.v for r in bucketed_df.collect()}
+        assert bucketed == plain
+    # the final carry window partitions by (key, bucket): its spec names
+    # the bucket column, so a hot key is NOT one partition
+    plan = bucketed_df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    # the carry window is the one ordering by the seed-first column _o;
+    # its PARTITION clause (everything before the first ASC) must name
+    # the bucket column _ab
+    carry = [s for s in specs if "_o#" in s]
+    assert carry, specs
+    for s in carry:
+        part = s.split(" ASC")[0]
+        assert "_ab" in part, s
+
+
 def test_range_join_containment_and_plan(spark):
     """Half-open [start, end) containment across bucket boundaries;
     the plan is an equi-join on the grain, never a nested-loop."""
