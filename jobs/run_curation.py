@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 
 def main(argv: list[str] | None = None) -> dict:
@@ -111,8 +110,11 @@ def main(argv: list[str] | None = None) -> dict:
     report["exported_tokens"] = manifest["total_tokens"]
     report["n_shards"] = len(manifest["shards"])
 
-    with open(os.path.join(args.output, "_curation_report.json"), "w") as f:
-        json.dump(report, f, indent=2, sort_keys=True)
+    # through the Hadoop FS API so the report lands next to the data on
+    # object stores too (--output s3a://... is the advertised contract)
+    from loggie_spark.layout import write_json_marker
+
+    write_json_marker(spark, args.output, "_curation_report.json", report)
     print(json.dumps(report))
     return report
 

@@ -14,7 +14,57 @@ layout is the table's bucket partition transform (``bucket(N, key)``).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
+
+
+def _hadoop_path(spark, uri: str):
+    """(FileSystem, Path) for ``uri`` through the Hadoop FS API — the
+    same resolution the writers use, so commit markers land wherever
+    the data does (local file://, hdfs://, s3a://...), instead of a
+    local open() that would write a bogus './s3:/...' directory after
+    an object-store export."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
+
+
+def write_json_marker(spark, dir_uri: str, name: str, payload: dict) -> None:
+    """Write ``payload`` as ``dir_uri/name`` through the Hadoop
+    FileSystem API: tmp file first, then delete+rename — atomic on
+    posix/HDFS, last-writer-wins on object stores (where the marker's
+    EXISTENCE is still the commit signal, because the tmp name never
+    matches a reader's probe)."""
+    data = json.dumps(payload, indent=2, sort_keys=True).encode()
+    base = dir_uri.rstrip("/")
+    fs, tmp = _hadoop_path(spark, f"{base}/{name}.tmp")
+    _, dest = _hadoop_path(spark, f"{base}/{name}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(data)
+    finally:
+        out.close()
+    fs.delete(dest, False)
+    if not fs.rename(tmp, dest):
+        raise IOError(f"could not commit {dest}")
+
+
+def read_json_marker(spark, dir_uri: str, name: str) -> dict | None:
+    """Read ``dir_uri/name`` back through the Hadoop FS API; None when
+    absent (= aborted export for a commit marker)."""
+    fs, dest = _hadoop_path(spark, f"{dir_uri.rstrip('/')}/{name}")
+    if not fs.exists(dest):
+        return None
+    stream = fs.open(dest)
+    try:
+        raw = bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+    return json.loads(raw.decode())
 
 
 def save_bucketed(
@@ -66,23 +116,28 @@ def write_training_shards(
     without a manifest as an aborted export.
 
     One shuffle (repartition by shard so each shard writes from its
-    own tasks); the manifest aggregation reuses the same partitioning.
-    Returns the manifest dict.
+    own tasks). The manifest is aggregated FROM THE PARQUET ACTUALLY
+    WRITTEN (a re-read of out_dir), never by re-evaluating the input
+    frame — with a nondeterministic upstream (shuffle-order-sensitive
+    ops, task retries, source mutation between the two actions) a
+    second evaluation could certify data the export never contained.
+    The marker itself goes through the Hadoop FileSystem API, so the
+    commit works against whatever filesystem the data landed on
+    (file://, hdfs://, s3a://). Returns the manifest dict.
     """
-    import json
-    import os
-
     from pyspark.sql import functions as F
 
     from loggie_spark.functions.hashing import md5_60bit
 
+    spark = df.sparkSession
     staged = df.repartition(F.col(shard_col))
     staged.write.mode("overwrite").option(
         "maxRecordsPerFile", max_records_per_file
     ).partitionBy(shard_col).parquet(out_dir)
 
     per_shard = (
-        df.groupBy(shard_col)
+        spark.read.parquet(out_dir)
+        .groupBy(shard_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("rows"),
             F.sum(len_col).cast("long").alias("tokens"),
@@ -106,10 +161,7 @@ def write_training_shards(
         "total_tokens": int(sum(r.tokens for r in per_shard)),
     }
     # manifest LAST: its presence is the commit marker
-    tmp = os.path.join(out_dir, "_manifest.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=2, sort_keys=True)
-    os.replace(tmp, os.path.join(out_dir, "_manifest.json"))
+    write_json_marker(spark, out_dir, "_manifest.json", manifest)
     return manifest
 
 
@@ -118,17 +170,13 @@ def verify_training_shards(spark, out_dir: str, id_col: str = "doc_id", len_col:
     ``RuntimeError`` on any mismatch (missing manifest = aborted
     export; count/token/fingerprint drift = torn or corrupted shard).
     The consuming trainer runs this before touching payloads."""
-    import json
-    import os
-
     from pyspark.sql import functions as F
 
     from loggie_spark.functions.hashing import md5_60bit
 
-    mpath = os.path.join(out_dir, "_manifest.json")
-    if not os.path.exists(mpath):
+    manifest = read_json_marker(spark, out_dir, "_manifest.json")
+    if manifest is None:
         raise RuntimeError(f"no _manifest.json in {out_dir}: aborted export")
-    manifest = json.load(open(mpath))
     got = {
         str(r["shard"]): r
         for r in (

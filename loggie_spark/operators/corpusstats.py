@@ -118,15 +118,19 @@ def bigram_lm_scores(
     100 TB shape: two scalar aggregations build the model (bigram
     counts, context counts — both map-side combined); the per-doc
     score is one join of (id, w1, w2) scalars against the model table
-    and one groupBy(id). The model side is EXPLICITLY broadcast: the
-    probe stream (one row per bigram occurrence, skewed on natural
-    keys like "of the") must never ride a shuffle — a sort-merge join
-    here would be the classic skew bottleneck, and broadcast-hash is
-    immune (no probe-side exchange at all). ``min_count`` is the
-    CCNet-style vocab floor that bounds the broadcast: at corpus scale
-    set it ≥ 2-5 so the model stays MiB-sized (rare bigrams carry no
-    fluency signal anyway); bigrams pruned by the floor are excluded
-    from both ``n_bigrams`` and the mean. Text never shuffles.
+    and one groupBy(id). ``min_count`` is the CCNet-style vocab floor
+    that bounds the model: at corpus scale set it ≥ 2-5 so the model
+    stays MiB-sized (rare bigrams carry no fluency signal anyway);
+    bigrams pruned by the floor are excluded from both ``n_bigrams``
+    and the mean. The broadcast hint is applied ONLY when the floor is
+    active (``min_count ≥ 2``): a floored model is vocab-bounded and
+    broadcast-hash keeps the skewed probe stream (one row per bigram
+    OCCURRENCE, hot on natural keys like "of the") off any shuffle.
+    With ``min_count=1`` the model is one row per DISTINCT bigram —
+    unbounded at web scale — so the join is left to AQE, which
+    broadcasts it when it measures small and falls back to a
+    skew-split shuffle join when it does not (never an executor OOM
+    from a forced hint). Text never shuffles either way.
 
     Returns ``(id_col, n_bigrams, lm_score)``; docs with fewer than
     two words (or none surviving the floor) get ``n_bigrams = 0`` and
@@ -165,8 +169,10 @@ def bigram_lm_scores(
         .join(c1, "w1")
         .select("w1", "w2", (F.col("c12") / F.col("c1")).alias("p"))
     )
+    if min_count >= 2:  # floored model is vocab-bounded -> safe to pin
+        model = F.broadcast(model)
     scored = (
-        doc_bg.join(F.broadcast(model), ["w1", "w2"])
+        doc_bg.join(model, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("int").alias("n_bigrams"),
@@ -313,30 +319,105 @@ def ccnet_buckets(
     feeds to LM training first.
 
     Bucket edges are INTEGER arithmetic over the dense rank (r·3 ≤ n
-    etc.), not score quantiles — deterministic, no float thresholds to
+    etc.), not float quantiles — deterministic, no float thresholds to
     drift across engines; ties rank by (score, id). Docs with no
     scorable bigrams sort to the bottom (score coalesced below any
     probability) and land in tail.
 
-    100 TB shape: :func:`bigram_lm_scores` shapes (broadcast model, no
-    text shuffles) + ONE window over (group, score-rank) whose rows are
-    (id, group, score) scalars. Returns ``(id_col, group_col, bucket)``.
+    100 TB shape — no full-group window (a per-group row_number would
+    put one group's every row in ONE task). Two-phase tercile cut,
+    exact to the rank semantics above:
+
+    1. rows collapse to per-(group, score) CLASS counts — map-side
+       combinable, and bounded: scores are probabilities rounded to 4
+       decimals, so a group has ≤ ~10⁴ classes no matter how many docs;
+    2. a window over the CLASS frame (≤10⁴ rows/group, never the
+       corpus) finds the two boundary classes where ranks ⌊n/3⌋ and
+       ⌊2n/3⌋ fall, with the in-class position of each;
+    3. a row_number window ranks ids ONLY inside the ≤2 boundary
+       classes per group (partitioned by (group, score) — the worst
+       partition is one tie-class, not one group) to extract the exact
+       (score, id) threshold pairs;
+    4. every row buckets by COMPARISON against the broadcast threshold
+       pairs — tie semantics identical to the rank form: before-the-
+       head-threshold ⟺ score > s_h ∨ (score = s_h ∧ id ≤ id_h).
+
+    Returns ``(id_col, group_col, bucket)``.
     """
     from pyspark.sql import Window
 
     scores = bigram_lm_scores(docs, text_col, id_col, min_count=min_count)
-    frame = docs.select(id_col, group_col).join(scores, id_col)
-    w = Window.partitionBy(group_col).orderBy(
-        F.coalesce("lm_score", F.lit(-1.0)).desc(), F.col(id_col)
+    frame = (
+        docs.select(id_col, group_col)
+        .join(scores, id_col)
+        .select(
+            id_col,
+            group_col,
+            F.coalesce("lm_score", F.lit(-1.0)).alias("_s"),
+        )
     )
-    n = F.count(F.lit(1)).over(Window.partitionBy(group_col))
-    r = F.row_number().over(w)
+    # (1) class counts: one row per (group, distinct rounded score)
+    cls = frame.groupBy(group_col, "_s").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    # (2) cumulative ranks over the small class frame
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n = F.sum("_c").over(Window.partitionBy(group_col))
+    cum = F.sum("_c").over(wc)
+    marked = cls.select(
+        group_col,
+        "_s",
+        "_c",
+        (cum - F.col("_c")).alias("_before"),
+        cum.alias("_cum"),
+        F.floor(n / 3).alias("_h"),
+        F.floor(n * 2 / 3).alias("_m"),
+    )
+    bnd = None
+    for kind, k in (("h", "_h"), ("m", "_m")):
+        part = marked.filter(
+            (F.col("_before") < F.col(k)) & (F.col(k) <= F.col("_cum"))
+        ).select(
+            group_col,
+            "_s",
+            F.lit(kind).alias("_kind"),
+            (F.col(k) - F.col("_before")).alias("_pos"),
+        )
+        bnd = part if bnd is None else bnd.unionByName(part)
+    # (3) rank ids only inside boundary classes (≤2 per group)
+    bclasses = bnd.select(group_col, "_s").distinct()
+    in_bnd = frame.join(F.broadcast(bclasses), [group_col, "_s"])
+    wr = Window.partitionBy(group_col, "_s").orderBy(id_col)
+    thr_rows = (
+        in_bnd.withColumn("_rn", F.row_number().over(wr))
+        .join(F.broadcast(bnd), [group_col, "_s"])
+        .filter(F.col("_rn") == F.col("_pos"))
+        .select(group_col, "_kind", "_s", F.col(id_col).alias("_tid"))
+    )
+    thr = thr_rows.groupBy(group_col).agg(
+        F.max(F.when(F.col("_kind") == "h", F.struct("_s", "_tid"))).alias("_th"),
+        F.max(F.when(F.col("_kind") == "m", F.struct("_s", "_tid"))).alias("_tm"),
+    )
+    # (4) bucket by comparison against the ≤|groups| threshold rows
+    out = frame.join(F.broadcast(thr), group_col, "left")
+
+    def _le(t):  # row key (score desc, id asc) at-or-before threshold t
+        return t.isNotNull() & (
+            (F.col("_s") > t["_s"])
+            | ((F.col("_s") == t["_s"]) & (F.col(id_col) <= t["_tid"]))
+        )
+
+    head = _le(F.col("_th"))
     bucket = (
-        F.when(r * 3 <= n, "head")
-        .when(r * 3 <= n * 2, "middle")
+        F.when(head, "head")
+        .when(_le(F.col("_tm")), "middle")
         .otherwise("tail")
     )
-    return frame.select(id_col, group_col, bucket.alias("bucket"))
+    return out.select(id_col, group_col, bucket.alias("bucket"))
 
 
 def tfidf_keywords(
@@ -344,6 +425,8 @@ def tfidf_keywords(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_df: int = 1,
+    max_vocab: int | None = None,
 ) -> DataFrame:
     """Per-document top-``k`` TF-IDF keywords. The idf is the RATIONAL
     form tf/df (document frequency in the denominator, no logarithm):
@@ -353,8 +436,17 @@ def tfidf_keywords(
     100 TB shape: term frequencies come from the in-row run-length
     pass (:func:`with_word_run_counts` — one shuffled row per DISTINCT
     word per doc), document frequencies from the same aggregation as
-    :func:`vocab_stats`, joined back BROADCAST (vocab-bounded); the
-    final top-k is a per-doc window over (id, word, score) scalars.
+    :func:`vocab_stats`; the final top-k is a per-doc window over
+    (id, word, score) scalars. The df table is one row per DISTINCT
+    WORD in the corpus — billions at web scale (URLs, typos, hashes) —
+    so it is broadcast ONLY when explicitly bounded: ``min_df ≥ 2``
+    (words below the floor drop out of scoring — they are the
+    singleton noise tf-idf exists to discount) and/or ``max_vocab``
+    (keep the top-V words by df, ties by word). Unbounded (the
+    default), the join stays a hash join on ``word``, reusing the very
+    exchange the df groupBy just produced — no second shuffle of the
+    probe side's word column, and no driver/executor OOM from an
+    unbounded forced broadcast.
 
     Returns ``(id_col, rank, word, score)`` with score rounded to 4.
     """
@@ -366,10 +458,16 @@ def tfidf_keywords(
     df_tbl = exploded.groupBy("word").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
+    if min_df > 1:
+        df_tbl = df_tbl.filter(F.col("df") >= F.lit(int(min_df)))
+    if max_vocab is not None:
+        df_tbl = df_tbl.orderBy(F.col("df").desc(), "word").limit(int(max_vocab))
+    if min_df > 1 or max_vocab is not None:  # bounded -> safe to pin
+        df_tbl = F.broadcast(df_tbl)
     score = F.col("cnt").cast("double") / F.col("df").cast("double")
     w = Window.partitionBy(id_col).orderBy(score.desc(), F.col("word"))
     return (
-        exploded.join(F.broadcast(df_tbl), "word")
+        exploded.join(df_tbl, "word")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(

@@ -368,19 +368,31 @@ def dsir_weights(
     tgt_pairs = pairs(target)
     c_r = raw_pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
     c_t = tgt_pairs.groupBy("_b").agg(F.count(F.lit(1)).alias("_ct"))
-    # Corpus totals: two single-scalar driver collects (config-sized).
-    n_r = raw_pairs.count()
-    n_t = tgt_pairs.count()
+    # Corpus totals roll up from the ALREADY-AGGREGATED bucket counts
+    # (N_R = Σ_b c_R(b), each bucket appears exactly once in the
+    # full-outer join) as global window sums OVER THE MODEL FRAME —
+    # NOT a pair of .count() actions, each of which would re-execute
+    # the tokenize/explode lineage over the full corpus. The raw
+    # corpus is scanned exactly once per side this way, and the
+    # single-partition window is over the B-bounded model
+    # (≤ n_buckets rows by construction), never over data.
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_r = F.sum(F.coalesce("_cr", F.lit(0))).over(w_all)
+    n_t = F.sum(F.coalesce("_ct", F.lit(0))).over(w_all)
     model = (
         c_r.join(c_t, "_b", "full_outer")
         .select(
             "_b",
             (
                 (F.coalesce("_ct", F.lit(0)) + 1).cast("double")
-                * F.lit(float(n_r + n_buckets))
+                * (n_r + F.lit(n_buckets)).cast("double")
                 / (
                     (F.coalesce("_cr", F.lit(0)) + 1).cast("double")
-                    * F.lit(float(n_t + n_buckets))
+                    * (n_t + F.lit(n_buckets)).cast("double")
                 )
             ).alias("_r"),
         )

@@ -820,9 +820,14 @@ def cluster_survivors(
     # min_by over (-score, id): highest score wins, ties -> smallest id.
     # Negating the (numeric) SCORE rather than the id keeps string doc
     # ids working (unary minus on a string throws under ANSI mode).
+    # NULL scores coalesce to -inf BEFORE the negation: -NULL is NULL,
+    # and NULL sorts FIRST in ascending struct order, so an un-guarded
+    # NULL-scored member would beat every scored one — here it loses
+    # to any real score and falls back to the id tiebreak.
+    neg_score = -F.coalesce(F.col(score_col), F.lit(float("-inf")))
     return joined.groupBy("cluster_id").agg(
         F.min_by(
-            F.col(id_col), F.struct(-F.col(score_col), F.col(id_col))
+            F.col(id_col), F.struct(neg_score.alias("_k1"), F.col(id_col).alias("_k2"))
         ).alias("survivor_id"),
         F.count(F.lit(1)).cast("long").alias("cluster_size"),
     )

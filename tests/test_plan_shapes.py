@@ -106,19 +106,86 @@ def test_salted_repartition_spreads_heavy_route(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
 
 
-def test_bigram_lm_score_join_is_broadcast(spark):
-    """The bigram-LM probe stream (one row per bigram OCCURRENCE, skewed
-    on natural keys) must never ride a shuffle: the model side is
-    explicitly broadcast, so the plan carries a BroadcastHashJoin and no
-    SortMergeJoin on the score join."""
+def test_bigram_lm_score_join_broadcast_only_when_floored(spark):
+    """The broadcast hint on the bigram-LM model is applied ONLY when
+    the min_count floor bounds it (≥2): a floored model pins a
+    BroadcastHashJoin (the skewed probe stream rides no shuffle), while
+    the unbounded min_count=1 model carries NO forced hint — AQE
+    decides, so a web-scale distinct-bigram table can never OOM an
+    executor through a pinned broadcast."""
+    from loggie_spark.operators.corpusstats import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    floored = bigram_lm_scores(docs, min_count=2)
+    plan = floored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    unbounded = bigram_lm_scores(docs, min_count=1)
+    logical = unbounded._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
+
+
+def test_tfidf_df_table_broadcast_only_when_bounded(spark):
+    """Same contract for the TF-IDF document-frequency table (one row
+    per DISTINCT word — unbounded at web scale): min_df/max_vocab cap
+    it and pin a broadcast; the uncapped default carries no hint."""
+    from loggie_spark.operators.corpusstats import tfidf_keywords
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    capped = tfidf_keywords(docs, min_df=2)
+    logical = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in logical, logical
+    uncapped = tfidf_keywords(docs)
+    logical = uncapped._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
+
+
+def test_ccnet_buckets_has_no_full_group_window(spark):
+    """ccnet_buckets must never rank a whole group's rows in one window
+    task: every window spec that ORDERS by the doc id (the row-level
+    ranking) must also PARTITION by the score class — the worst
+    partition is one tie-class inside one group, not a whole group."""
+    import re
+
     plan = (
-        QUERIES["td_bigram_lm"](spark, SF)
+        QUERIES["td_ccnet_buckets"](spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # row_number over ids: any spec ORDERING by doc_id must carry the
+    # score column _s in its PARTITION clause (the comma-separated
+    # tokens before the first token bearing an ASC/DESC marker)
+    checked = 0
+    for s in specs:
+        part_cols, order_cols = [], []
+        for t in s.split(", "):
+            if order_cols or " ASC" in t or " DESC" in t:
+                order_cols.append(t)
+            else:
+                part_cols.append(t)
+        if any("doc_id" in t for t in order_cols):
+            assert any("_s#" in t for t in part_cols), s
+            checked += 1
+    assert checked >= 1, specs
+
+
+def test_dsir_weights_builds_lazily_single_scan(spark):
+    """Constructing the dsir_weights frame must run ZERO Spark jobs:
+    the corpus totals roll up from the aggregated bucket counts inside
+    the one lazy plan, not from eager .count() actions that would each
+    re-scan the tokenize/explode lineage over the full corpus."""
+    from loggie_spark.operators.curation import dsir_weights
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None))
+    df = dsir_weights(docs, docs.limit(50))
+    after = len(tracker.getJobIdsForGroup(None))
+    assert after == before, "dsir_weights ran eager jobs while building its plan"
+    assert df.columns == ["doc_id", "n_feats", "dsir_score"]
 
 
 def test_scan_pushdown_and_column_pruning(spark):

@@ -1306,6 +1306,28 @@ def test_training_shard_export_manifest_protocol(spark, tmp_path):
         verify_training_shards(spark, out2)
 
 
+def test_shard_manifest_describes_written_data_not_input(spark, tmp_path):
+    """The manifest must be aggregated from the parquet that LANDED,
+    not from a re-evaluation of the input frame: with a
+    nondeterministic upstream (rand ids here — the stand-in for
+    shuffle-order-sensitive ops or task retries), a second evaluation
+    would certify ids the export never contained and verify would
+    reject its own fresh export."""
+    import pyspark.sql.functions as F
+
+    from loggie_spark.layout import verify_training_shards, write_training_shards
+
+    df = spark.range(100).select(
+        (F.rand() * 1e12).cast("long").cast("string").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("shard"),
+        F.lit(7).cast("long").alias("n_tok"),
+    )
+    out = str(tmp_path / "nondet")
+    manifest = write_training_shards(df, out)
+    assert manifest["total_rows"] == 100
+    verify_training_shards(spark, out)  # manifest == what landed
+
+
 def test_asof_join_semantics(spark):
     """<= semantics, per-key isolation, left-join nulls, and strict
     mode excluding the equal-timestamp dimension row."""
