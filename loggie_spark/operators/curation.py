@@ -422,3 +422,146 @@ def dsir_weights(
             "dsir_score",
         )
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    delim: str = "\n",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet/Dolma-style boilerplate LINE removal: any line whose exact
+    text occurs in ``min_docs`` or more DISTINCT documents is dropped
+    from EVERY document (nav bars, cookie banners, "all rights
+    reserved" footers). This differs from :func:`span_dedup` on both
+    axes: the unit is a natural line (``delim``-separated), not a
+    fixed-width span, and a duplicated line keeps NO occurrence at all
+    — boilerplate carries no training signal anywhere, whereas span
+    dedup keeps the first copy.
+
+    100 TB shape: lines hash to 60-bit ints IN-ROW, so the document-
+    frequency aggregation and the anti-join shuffle only (id, pos,
+    hash) scalars — line text never rides a shuffle; the reassembly
+    re-reads each survivor line from the document's OWN line array
+    (one co-keyed join on id). df counting is distinct-(doc, hash)
+    first, then a map-side-combinable count.
+
+    Returns ``(id_col, n_lines, n_kept, clean_hash)`` where clean_hash
+    is the md5 of the surviving lines re-joined with ``delim`` (the
+    compact cross-engine contract; callers wanting the text itself
+    re-join in the same way).
+    """
+    import re as _re
+
+    from loggie_spark.functions.hashing import md5_60bit
+    from loggie_spark.operators.dedup import _materialize
+
+    base = _materialize(
+        spread_small_input(docs).select(id_col, text_col),
+        {"_ls": F.split(F.col(text_col), _re.escape(delim))},
+    )
+    occ = base.select(
+        F.col(id_col), F.posexplode("_ls").alias("pos", "_line")
+    ).select(id_col, "pos", md5_60bit(F.col("_line")).alias("_h"))
+    boiler = (
+        occ.select(id_col, "_h")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= F.lit(int(min_docs)))
+        .select("_h")
+    )
+    kept = (
+        occ.join(boiler, "_h", "left_anti")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("_keep"))
+    )
+    empty = F.array().cast("array<int>")
+    keep = F.coalesce("_keep", empty)
+    return base.join(kept, id_col, "left").select(
+        id_col,
+        F.size("_ls").cast("int").alias("n_lines"),
+        F.size(keep).cast("int").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(keep, lambda p: F.element_at(F.col("_ls"), p + 1)),
+                delim,
+            )
+        ).alias("clean_hash"),
+    )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, appendix A1 — the
+    heuristic filter battery most open LLM corpora reuse): word-count
+    bounds, mean word length bounds, symbol-to-word ratio ('#' and
+    '...'), fraction of words containing a letter, and the stopword
+    presence test. Emits every signal plus the combined ``passes``
+    verdict so pipelines can audit which rule fired.
+
+    All signals are single-pass Catalyst expressions over the in-row
+    word array (narrow, codegen, zero shuffle); ratios are exact
+    integer counts with ONE IEEE division rounded to 4, so the DuckDB
+    oracle reproduces every value bit-for-bit.
+
+    Returns ``(id_col, n_words, mean_word_len, symbol_ratio,
+    alpha_frac, stop_hits, passes)``.
+    """
+    from loggie_spark.operators.dedup import _materialize
+
+    base = _materialize(
+        docs.select(id_col, text_col), {"_w": tokenize(F.col(text_col))}
+    )
+    w = F.col("_w")
+    n = F.size(w)
+    nd = n.cast("double")
+    t = F.col(text_col)
+    chars = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    mean_len = F.when(n > 0, F.round(chars / nd, 4)).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = F.when(
+        n > 0, F.round((n_hash + n_ellipsis) / nd, 4)
+    ).otherwise(F.lit(0.0))
+    n_alpha = F.size(F.filter(w, lambda x: x.rlike("[a-z]")))
+    alpha_frac = F.when(n > 0, F.round(n_alpha / nd, 4)).otherwise(F.lit(0.0))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(w), F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+        )
+    )
+    out = base.select(
+        id_col,
+        n.cast("int").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn("passes", passes)

@@ -160,3 +160,42 @@ def bloom_maybe_contains(
         .alias("maybe_member")
     )
     return probes.join(verdict, item_col, "left")
+
+
+def cms_heavy_hitters(
+    items: DataFrame,
+    item_col: str,
+    min_count: int,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Sketch-gated EXACT heavy hitters — the composition pattern the
+    sketches exist for: candidates come from the count-min estimate
+    (one-sided ``est ≥ true``, so no real hitter can be missed), and
+    only candidates pay the exact count (which then discards the
+    sketch's false positives). The result is EXACTLY the rows of
+    ``GROUP BY item HAVING count ≥ min_count`` — sketch error affects
+    cost, never the answer.
+
+    100 TB shape: the sketch is depth×width counters regardless of
+    stream size (map-side combine IS the merge); the candidate set is
+    bounded by N/min_count + the εN collision tail, so it broadcasts
+    into a semi-join that prunes the exact aggregation to candidate
+    rows only — the full-cardinality (item, count) result table of a
+    naive exact query (unbounded for urls / raw tokens) never
+    materializes. The distinct-item probe shuffles item values once;
+    a naive exact query pays the same shuffle WITH counts attached.
+
+    Returns ``(item_col, cnt)`` for every item with true count ≥
+    ``min_count``.
+    """
+    sketch = cms_build(items, item_col, depth, width)
+    cand = cms_estimate(
+        sketch, items.select(item_col).distinct(), item_col, depth, width
+    ).filter(F.col("est") >= F.lit(int(min_count)))
+    return (
+        items.join(F.broadcast(cand.select(item_col)), item_col, "left_semi")
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= F.lit(int(min_count)))
+    )

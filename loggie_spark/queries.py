@@ -3686,6 +3686,211 @@ def td_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Round-5 additions: boilerplate line dedup, Gopher filter, sketch-gated
+# heavy hitters, hot-key-safe asof, capped tf-idf
+# ===========================================================================
+
+_LINE_K = 8
+
+
+@register(
+    "td_line_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    lines AS (
+      SELECT doc_id,
+             unnest([CAST((i-1)/{_LINE_K} AS INT)
+                     for i in generate_series(1, len(w), {_LINE_K})]) AS pos,
+             unnest([array_to_string(list_slice(w, i, i+{_LINE_K - 1}), ' ')
+                     for i in generate_series(1, len(w), {_LINE_K})]) AS line
+      FROM w
+    ),
+    occ AS (SELECT doc_id, pos, line, {md5_60bit_sql("line")} AS h FROM lines),
+    boiler AS (
+      SELECT h FROM (SELECT DISTINCT doc_id, h FROM occ)
+      GROUP BY h HAVING count(*) >= 2
+    ),
+    kept AS (SELECT doc_id, pos, line FROM occ
+             WHERE h NOT IN (SELECT h FROM boiler)),
+    recon AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_hash
+      FROM kept GROUP BY doc_id
+    )
+    SELECT w.doc_id, CAST(ceil(len(w.w)/{_LINE_K}.0) AS INT) AS n_lines,
+           CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+           coalesce(r.clean_hash, md5('')) AS clean_hash
+    FROM w LEFT JOIN recon r USING (doc_id)
+    """,
+)
+def td_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global boilerplate line removal (operators/
+    curation.py:line_dedup, CCNet/Dolma-style): every line occurring in
+    ≥2 DISTINCT documents is dropped from ALL of them (no keeper —
+    boilerplate carries no signal anywhere), and documents rebuild
+    from their surviving lines. The corpus has no newlines, so 'lines'
+    here are the deterministic {_LINE_K}-word chunks (the same
+    construction the span-dedup oracle uses); the dedup decision
+    shuffles only (doc, pos, 60-bit hash) scalars."""
+    from loggie_spark.operators.curation import line_dedup
+    from loggie_spark.operators.dedup import _materialize, tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    base = _materialize(
+        docs.select("doc_id", "text"), {"_w": tokenize(F.col("text"))}
+    )
+    w = F.col("_w")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(_LINE_K)),
+        lambda i: F.array_join(F.slice(w, i, _LINE_K), " "),
+    )
+    lined = base.select(
+        "doc_id", F.array_join(chunks, "\n").alias("text")
+    )
+    return line_dedup(lined, min_docs=2)
+
+
+@register(
+    "td_gopher_filter",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, text, {_WORDS_SQL} AS w FROM documents),
+    sig AS (
+      SELECT doc_id,
+        CAST(len(w) AS INT) AS n_words,
+        CASE WHEN len(w) > 0 THEN round(CAST(CAST(
+          CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+          AS VARCHAR) AS DECIMAL(30,17)), 4) ELSE 0.0 END AS mean_word_len,
+        CASE WHEN len(w) > 0 THEN round(CAST(CAST(
+          (length(text) - length(replace(text, '#', ''))
+           + (length(text) - length(replace(text, '...', ''))) / 3.0)
+          / len(w) AS VARCHAR) AS DECIMAL(30,17)), 4) ELSE 0.0 END
+          AS symbol_ratio,
+        CASE WHEN len(w) > 0 THEN round(CAST(CAST(
+          CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+          / len(w) AS VARCHAR) AS DECIMAL(30,17)), 4) ELSE 0.0 END
+          AS alpha_frac,
+        CAST(len(list_intersect(list_distinct(w),
+          ['the','be','to','of','and','that','have','with'])) AS INT)
+          AS stop_hits
+      FROM w
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+           stop_hits,
+           (n_words BETWEEN 20 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND alpha_frac >= 0.8
+            AND stop_hits >= 2) AS passes
+    FROM sig
+    """,
+)
+def td_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule battery (operators/curation.py:
+    gopher_quality_flags; Rae et al. 2021 A1): word-count bounds, mean
+    word length, symbol-to-word ratio, letter-bearing word fraction,
+    stopword presence — every signal a narrow codegen expression,
+    ratios one exact IEEE division rounded to 4 (DuckDB reproduces via
+    the decimal-cast spelling). min_words lowered to 20 for this
+    corpus' ~50-word docs."""
+    from loggie_spark.operators.curation import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"), min_words=20)
+
+
+@register(
+    "th_cms_hitters",
+    oracle="""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id HAVING count(*) >= 80
+    """,
+)
+def th_cms_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-gated exact heavy hitters (operators/sketches.py:
+    cms_heavy_hitters): count-min candidates (one-sided, so no true
+    hitter missed) verified by an exact count over candidate rows only
+    — the result EQUALS plain GROUP BY ... HAVING, which is the
+    oracle; sketch error moves cost, never the answer. width=64 over
+    150 users forces real collisions, so the driver row certifies the
+    verify stage too."""
+    from loggie_spark.operators.sketches import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _t(spark, sf_dir, "events"), "user_id", min_count=80, depth=4, width=64
+    )
+
+
+@register(
+    "th_asof_join_bucketed",
+    oracle="""
+    WITH dim AS (
+      SELECT user_id, ts, max(value) AS last_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ),
+    views AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT v.event_id, v.user_id, d.last_purchase
+    FROM views v ASOF LEFT JOIN dim d
+      ON v.user_id = d.user_id AND v.ts >= d.ts
+    """,
+)
+def th_asof_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-key-safe as-of join (operators/joins.py:asof_join with
+    bucket_sec): per-(key, time-bucket) dim states + a per-key window
+    over BUCKETS seed the carry, and the final window partitions by
+    (key, bucket) — one hot key's history splits across
+    timespan/bucket tasks instead of serializing into one. Same
+    DuckDB ASOF oracle as th_asof_join: identical answers, different
+    (skew-immune) plan."""
+    from loggie_spark.operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("last_purchase"))
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        views, dim, key="user_id", ts="ts", dim_ts="ts", bucket_sec=3600
+    ).select("event_id", "user_id", "last_purchase")
+
+
+@register(
+    "td_idf_keywords_capped",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    tf AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY doc_id, word),
+    dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word
+              HAVING count(*) >= 2),
+    ranked AS (
+      SELECT doc_id, word, CAST(cnt AS DOUBLE)/df AS sc,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY CAST(cnt AS DOUBLE)/df DESC, word) AS rank
+      FROM tf JOIN dfreq USING (word)
+    )
+    SELECT doc_id, CAST(rank AS INT) AS rank, word,
+           round(CAST(CAST(sc AS VARCHAR) AS DECIMAL(30,17)), 4) AS score
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def td_idf_keywords_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED tf-idf path (operators/corpusstats.py:
+    tfidf_keywords with min_df=2): the document-frequency table is
+    floored, so it is vocab-bounded and broadcast — the plan the
+    operator runs at 100 TB (the uncapped default keeps a shuffle
+    join; plan guard: tests/test_plan_shapes.py). Words below the
+    floor drop out of scoring — exactly the singleton noise idf
+    discounts to near-zero anyway."""
+    from loggie_spark.operators.corpusstats import tfidf_keywords
+
+    return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3, min_df=2)
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 # The driver's correctness gate runs the FIRST 50 entries of
@@ -3693,53 +3898,70 @@ def td_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # larger than 50, so ordering decides which queries get a hard driver
 # CORRECTNESS row each round.  Queries listed in ``_DRIVER_PRIORITY`` are
 # moved to the front (in list order); everything else follows in original
-# registration order.  Round-4 policy (VERDICT r3 item #1): the 25 queries
-# that never had a driver row (every round-3 addition plus the r2
-# stragglers) come first, then any NEW queries added this round, then the
-# long-green anchors — so the union of CORRECTNESS_r03 ∪ r04 covers the
-# whole registry.  ADD NEW QUERIES TO THIS LIST or they will sit past the
-# cap with no driver row.
+# registration order.  Rotation policy (stated in CLAUDE.md): every
+# round, the window = (a) every query whose last driver row is one round
+# old — so no query's driver row is ever more than TWO rounds stale —
+# then (b) queries whose operator code changed this round, then (c) new
+# queries, then (d) flagship anchors with any remaining slots.  ADD NEW
+# QUERIES TO THIS LIST or they will sit past the cap with no driver row;
+# tests/test_oracle_parity.py::test_driver_cap_coverage enforces the
+# union invariant mechanically.
 
 _DRIVER_PRIORITY: list[str] = [
-    # -- never driver-checked before r4 (r3 additions + r2 stragglers) --
-    "pl_multiline",
-    "pl_default_injection",
-    "td_token_chunk",
-    "td_seq_pack",
-    "td_sample_mix",
-    "pl_arrow_ingest",
-    "pl_error_policy",
-    "td_curation_v2",
-    "td_curation_pipeline",
-    "td_span_dedup",
-    "td_vocab_topk",
-    "td_bigram_lm",
-    "td_token_window_dedup",
-    "td_corpus_report",
-    "td_dedup_incremental",
-    "td_curation_v3",
-    "td_epoch_order",
-    "td_cluster_survivors",
-    "th_sessionize",
-    "td_tokenize_ids",
-    "td_kmeans_refine",
-    "td_group_sample",
-    "th_heavy_hitters",
-    "td_url_filter",
-    "td_containment",
-    # -- new round-4 queries go here (before the anchors) --
+    # -- (a) last driver-checked in r03 (rotated out of the r04 window) --
+    "th_q1_pricing",
+    "th_q3_revenue",
+    "th_q5_region_revenue",
+    "td_dedup_exact",
+    "td_dedup_minhash_lsh",
+    "td_dedup_simhash",
+    "td_dedup_ngram_jaccard",
+    "td_dup_clusters",
+    "td_decontaminate",
+    "td_boilerplate",
+    "td_repetition",
+    "td_pii_redact",
+    "td_embed_dup_pairs",
+    "td_embed_dup_lsh",
+    "td_sim_topk_brute",
+    "td_sim_topk_lsh",
+    "td_sim_topk_ivf",
+    "td_langid",
+    "td_quality_score",
+    "td_token_counts",
+    "td_fingerprint",
+    "pl_k8s_extract_enrich",
+    "pl_schema_interceptor",
+    "pl_k8s_route",
+    "pl_filesink_hash",
+    "pl_addmeta",
+    "pl_normalize_chain",
+    "pl_convert_keep",
+    "td_multimodal_featurize",
+    "td_frame_sample",
+    "pl_source_codec",
+    "pl_source_codec_regex",
+    "pl_sink_codec",
+    "pl_replace",
+    "pl_tostr",
+    "pl_conditions",
+    "pl_kafka_roundtrip",
+    # -- (b) operator code changed in round 5 (re-verify on new plans) --
     "td_ccnet_buckets",
     "td_idf_keywords",
-    "td_ngram_novelty",
-    "th_funnel",
-    "pl_parse_dlq",
     "td_dsir_weights",
     "th_asof_join",
-    "th_range_join",
-    "td_countmin",
-    "td_bloom_decontaminate",
-    "td_embed_quantize",
-    "td_split_leakage_safe",
+    "td_cluster_survivors",
+    "td_bigram_lm",
+    # -- (c) new round-5 queries --
+    "td_line_dedup",
+    "td_gopher_filter",
+    "th_cms_hitters",
+    "th_asof_join_bucketed",
+    "td_idf_keywords_capped",
+    # -- (d) flagship anchors (fill to 50) --
+    "pl_grok_parse",
+    "pl_regex_route_metrics",
 ]
 
 

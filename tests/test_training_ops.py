@@ -1594,3 +1594,86 @@ def test_leakage_safe_split_keeps_near_dups_together(spark):
     again = {r.doc_id: (r.split_unit, r.split) for r in
              leakage_safe_split(docs, pairs, val_pct=30).collect()}
     assert again == out
+
+
+def test_line_dedup_removes_boilerplate_everywhere(spark):
+    """A line in >= min_docs distinct docs is dropped from EVERY doc
+    (no first-occurrence keeper); unique lines survive; clean_hash is
+    the md5 of surviving lines re-joined in order."""
+    import hashlib
+
+    from loggie_spark.operators.curation import line_dedup
+
+    footer = "all rights reserved"
+    rows = [
+        (1, f"alpha one\n{footer}\nbeta two"),
+        (2, f"{footer}\ngamma three"),
+        (3, "delta four\nepsilon five"),
+        (4, footer),  # nothing survives
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, min_docs=2).collect()}
+    assert (out[1].n_lines, out[1].n_kept) == (3, 2)
+    assert out[1].clean_hash == hashlib.md5(b"alpha one\nbeta two").hexdigest()
+    assert (out[2].n_lines, out[2].n_kept) == (2, 1)
+    assert (out[3].n_lines, out[3].n_kept) == (2, 2)
+    assert out[3].clean_hash == hashlib.md5(b"delta four\nepsilon five").hexdigest()
+    assert (out[4].n_lines, out[4].n_kept) == (1, 0)
+    assert out[4].clean_hash == hashlib.md5(b"").hexdigest()
+    # custom delimiter path
+    df2 = spark.createDataFrame(
+        [(1, "x | y"), (2, "x | z")], "doc_id long, text string"
+    )
+    out2 = {r.doc_id: r.n_kept for r in
+            line_dedup(df2, min_docs=2, delim=" | ").collect()}
+    assert out2 == {1: 1, 2: 1}  # shared "x" dropped from both
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Each Gopher rule fires on its crafted violator and the clean doc
+    passes; ratios are exact rounded divisions."""
+    from loggie_spark.operators.curation import gopher_quality_flags
+
+    good = "the quick brown fox jumps over that lazy dog and then it ran off with great speed " * 4
+    rows = [
+        (1, good),                          # passes all
+        (2, "short text only"),             # too few words
+        (3, ("a b c d e " * 20).strip()),   # mean word len 1 < 3
+        (4, ("the of #### ##### " + "word " * 60).strip()),  # symbol ratio
+        (5, ("12 34 56 78 " * 20 + "the of and").strip()),   # alpha frac
+        (6, ("zebra quartz viper " * 20).strip()),           # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_quality_flags(df, min_words=20).collect()}
+    assert out[1].passes
+    assert not out[2].passes and out[2].n_words == 3
+    assert not out[3].passes and out[3].mean_word_len == 1.0
+    assert not out[4].passes and out[4].symbol_ratio > 0.1
+    assert not out[5].passes and out[5].alpha_frac < 0.8
+    assert not out[6].passes and out[6].stop_hits == 0
+    assert out[1].stop_hits >= 2
+
+
+def test_cms_heavy_hitters_exact_despite_collisions(spark):
+    """The sketch-gated result equals the exact GROUP BY ... HAVING
+    answer even with a deliberately tiny sketch (width=4 -> heavy
+    collisions): one-sided estimates admit false candidates, the exact
+    verify discards them, and no true hitter can be missed."""
+    import pyspark.sql.functions as F
+
+    from loggie_spark.operators.sketches import cms_heavy_hitters
+
+    rows = [(f"u{i % 17}",) for i in range(500)] + [("whale",)] * 120
+    items = spark.createDataFrame(rows, "user string")
+    got = {
+        (r.user, r.cnt)
+        for r in cms_heavy_hitters(items, "user", min_count=40, width=4).collect()
+    }
+    want = {
+        (r.user, r.cnt)
+        for r in items.groupBy("user")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= 40)
+        .collect()
+    }
+    assert got == want and ("whale", 120) in got
