@@ -165,6 +165,26 @@ def _pil_decode(payload: bytes) -> dict:
     }
 
 
+def _soundfile_decode(payload: bytes) -> dict:
+    """REAL FLAC/OGG decode via soundfile/libsndfile when the cluster
+    image ships it (this container does not — see ``_HAVE_SOUNDFILE``
+    probe). ``feat_hash`` is the md5 of the decoded PCM sample buffer,
+    matching ``_decode_wav``'s content-hash semantics (two encodings of
+    the same audio hash alike after decode)."""
+    import hashlib
+    import io
+
+    import soundfile as sf  # noqa: import gated by _HAVE_SOUNDFILE
+
+    data, sample_rate = sf.read(io.BytesIO(payload), dtype="int16")
+    return {
+        "feat_hash": hashlib.md5(data.tobytes()).hexdigest(),
+        "width": None,
+        "height": None,
+        "duration_ms": int(len(data) * 1000 / sample_rate),
+    }
+
+
 def _probe_pil() -> bool:
     try:
         import PIL.Image  # noqa: F401
@@ -174,10 +194,22 @@ def _probe_pil() -> bool:
         return False
 
 
+def _probe_soundfile() -> bool:
+    try:
+        import soundfile  # noqa: F401
+
+        return True
+    except (ImportError, OSError):  # OSError: libsndfile missing
+        return False
+
+
 _HAVE_PIL = _probe_pil()
+_HAVE_SOUNDFILE = _probe_soundfile()
 
 _JPEG_MAGIC = b"\xff\xd8\xff"
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_FLAC_MAGIC = b"fLaC"
+_OGG_MAGIC = b"OggS"
 
 
 def _decode_media(payload: bytes, strict: bool) -> dict:
@@ -198,6 +230,10 @@ def _decode_media(payload: bytes, strict: bool) -> dict:
             payload[:3] == _JPEG_MAGIC or payload[:8] == _PNG_MAGIC
         ):
             return _pil_decode(payload)
+        if _HAVE_SOUNDFILE and (
+            payload[:4] == _FLAC_MAGIC or payload[:4] == _OGG_MAGIC
+        ):
+            return _soundfile_decode(payload)
     except Exception:
         if strict:
             raise
@@ -206,7 +242,8 @@ def _decode_media(payload: bytes, strict: bool) -> dict:
         raise NotImplementedError(
             "no real codec for this payload: PPM and PCM WAV decode "
             "in-container (JPEG/PNG too when PIL is on the cluster "
-            "image); MP4 needs ffmpeg (not installed)"
+            "image, FLAC/OGG when soundfile is); MP4 needs ffmpeg "
+            "(not installed)"
         )
     return _fake_decode(payload)
 
