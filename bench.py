@@ -62,6 +62,25 @@ BENCH_QUERIES = [
     "th_asof_join",
     "td_countmin",
     "td_dsir_weights",
+    # round-5 additions: the unbenched-but-nontrivial r4 plans ...
+    "th_range_join",
+    "td_idf_keywords",
+    "pl_parse_dlq",
+    "td_bloom_decontaminate",
+    "td_embed_quantize",
+    "td_split_leakage_safe",
+    "td_url_filter",
+    "td_corpus_report",
+    "td_epoch_order",
+    "td_sample_mix",
+    # ... and the new r5 operators
+    "td_line_dedup",
+    "td_gopher_filter",
+    "th_cms_hitters",
+    "th_asof_join_bucketed",
+    "td_idf_keywords_capped",
+    "td_bpe_train",
+    "td_bpe_encode",
 ]
 
 

@@ -3181,9 +3181,11 @@ def td_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def td_idf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF keywords (operators/
     corpusstats.py:tfidf_keywords): rational tf/df score (no log —
-    same ranking, bit-reproducible), document frequencies broadcast,
-    per-doc window top-k. Oracle rounds through the decimal-cast
-    spelling to reproduce Spark's shortest-repr HALF_UP round."""
+    same ranking, bit-reproducible); uncapped df table joins hash-wise
+    (no forced broadcast — see td_idf_keywords_capped for the bounded
+    broadcast path); per-doc window top-k. Oracle rounds through the
+    decimal-cast spelling to reproduce Spark's shortest-repr HALF_UP
+    round."""
     from loggie_spark.operators.corpusstats import tfidf_keywords
 
     return tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
@@ -3891,6 +3893,143 @@ def td_idf_keywords_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# td_bpe_train / td_bpe_encode — distributed BPE (operators/bpe.py)
+# ===========================================================================
+# The oracle unrolls one CTE stage per merge (generated below): pair
+# counts via parallel unnest of the two shifted symbol slices, argmax by
+# (count DESC, l, r), then the SAME left-to-right greedy fold the Spark
+# operator runs — as a list_reduce over a chr(31)-joined string
+# accumulator (list_prepend('') seeds the type-stable fold; no word
+# character can contain the unit separator, so the suffix test is an
+# exact last-symbol test).
+
+_BPE_N = 6
+_BPE_TOP = 4096
+
+
+def _bpe_stage_sql(k: int) -> str:
+    prev = f"s{k - 1}"
+    return f"""
+    p{k} AS (
+      SELECT l, r, sum(cnt) AS c FROM (
+        SELECT unnest(syms[1:len(syms)-1]) AS l,
+               unnest(syms[2:len(syms)]) AS r, cnt
+        FROM {prev} WHERE len(syms) >= 2
+      ) GROUP BY 1, 2
+    ),
+    b{k} AS (SELECT l AS l{k}, r AS r{k}, l || r AS m{k}, c
+             FROM p{k} ORDER BY c DESC, l, r LIMIT 1),
+    s{k} AS (
+      SELECT string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+          CASE WHEN acc = '' THEN x
+               WHEN ends_with(acc, chr(31) || b.l{k}) AND x = b.r{k}
+                 THEN substr(acc, 1, length(acc) - length(b.l{k})) || b.m{k}
+               WHEN acc = b.l{k} AND x = b.r{k} THEN b.m{k}
+               ELSE acc || chr(31) || x END), chr(31)) AS syms, cnt
+      FROM {prev}, b{k} b
+    )"""
+
+
+_BPE_PREFIX_SQL = f"""
+    WITH w0 AS (
+      SELECT word, count(*) AS cnt FROM (
+        SELECT unnest({_WORDS_SQL}) AS word FROM documents
+      ) GROUP BY word ORDER BY cnt DESC, word LIMIT {_BPE_TOP}
+    ),
+    s0 AS (SELECT [word[i] for i in generate_series(1, length(word))] AS syms,
+                  cnt FROM w0),
+    {",".join(_bpe_stage_sql(k) for k in range(1, _BPE_N + 1))}
+"""
+
+
+def _bpe_encode_fold_sql(k: int, inner: str) -> str:
+    return f"""string_split(list_reduce(list_prepend('', {inner}), (acc, x) ->
+      CASE WHEN acc = '' THEN x
+           WHEN ends_with(acc, chr(31) || l{k}) AND x = r{k}
+             THEN substr(acc, 1, length(acc) - length(l{k})) || m{k}
+           WHEN acc = l{k} AND x = r{k} THEN m{k}
+           ELSE acc || chr(31) || x END), chr(31))"""
+
+
+def _bpe_encode_expr_sql() -> str:
+    expr = "[word[i] for i in generate_series(1, length(word))]"
+    for k in range(1, _BPE_N + 1):
+        expr = _bpe_encode_fold_sql(k, expr)
+    return expr
+
+
+@register(
+    "td_bpe_train",
+    oracle=_BPE_PREFIX_SQL
+    + f"""
+    SELECT * FROM (
+    {" UNION ALL ".join(
+        f"SELECT {k} AS rank, l{k} AS lhs, r{k} AS rhs, m{k} AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{k}"
+        for k in range(1, _BPE_N + 1)
+    )})
+    """,
+)
+def td_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (operators/bpe.py:bpe_train,
+    Sennrich et al. 2016): one corpus scan builds word counts (map-side
+    combine), every merge iteration runs on the top-4096-word table —
+    vocab-bounded, corpus-size-independent state, localCheckpoint-flat
+    plans — and the driver collects exactly one argmax row per merge.
+    Ties break by (count DESC, left, right); the within-word merge is a
+    left-to-right greedy fold. The oracle unrolls the identical six
+    stages as CTEs."""
+    from loggie_spark.operators.bpe import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_N, top_words=_BPE_TOP)
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        schema="rank INT, lhs STRING, rhs STRING, merged STRING, pair_count BIGINT",
+    )
+
+
+@register(
+    "td_bpe_encode",
+    oracle=_BPE_PREFIX_SQL
+    + f""",
+    docw AS (
+      SELECT doc_id, unnest(ws) AS word,
+             unnest(generate_series(1, len(ws))) AS pos
+      FROM (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents)
+    ),
+    wt AS (
+      SELECT doc_id, pos, {_bpe_encode_expr_sql()} AS toks
+      FROM docw, {", ".join(f"b{k}" for k in range(1, _BPE_N + 1))}
+    ),
+    agg AS (
+      SELECT doc_id, flatten(list(toks ORDER BY pos)) AS all_toks
+      FROM wt GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(len(a.all_toks), 0) AS INT) AS n_tokens,
+           coalesce(array_to_string(a.all_toks, ' '), '') AS tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def td_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword tokenization with the corpus-trained merge table
+    (operators/bpe.py:bpe_encode): the six learned merges broadcast
+    into ONE Arrow-batched pandas UDF pass — narrow, zero shuffle,
+    byte-identical greedy-fold semantics to training. The oracle
+    re-derives the merges (shared CTE prefix with td_bpe_train) and
+    applies the same six folds per word, reassembled in word order."""
+    from loggie_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_N, top_words=_BPE_TOP)
+    return bpe_encode(docs, merges)
+
+
+# ===========================================================================
 # Driver-window ordering
 # ===========================================================================
 # The driver's correctness gate runs the FIRST 50 entries of
@@ -3959,9 +4098,11 @@ _DRIVER_PRIORITY: list[str] = [
     "th_cms_hitters",
     "th_asof_join_bucketed",
     "td_idf_keywords_capped",
-    # -- (d) flagship anchors (fill to 50) --
-    "pl_grok_parse",
-    "pl_regex_route_metrics",
+    "td_bpe_train",
+    "td_bpe_encode",
+    # -- (d) flagship anchors: none this round — (a)+(b)+(c) fill all
+    # 50 slots exactly (37 + 6 + 7); the flagship family was driver-
+    # checked in r04, so it is 1 round stale and rotates back in r06.
 ]
 
 

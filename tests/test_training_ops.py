@@ -1085,6 +1085,48 @@ def test_multimodal_pil_probe_path(spark, monkeypatch):
     assert mm._decode_media(jpeg, strict=False) == mm._fake_decode(jpeg)
 
 
+def test_multimodal_soundfile_probe_path(spark, monkeypatch):
+    """When soundfile/libsndfile is present (probed at import), FLAC and
+    OGG route through the real decoder; exercised with a monkeypatched
+    codec since the container lacks libsndfile. Without it the payload
+    is a declared stub: strict raises, lax falls back to the fake."""
+    import pytest
+
+    import loggie_spark.operators.multimodal as mm
+
+    flac = b"fLaCfakeflacstream"
+    monkeypatch.setattr(mm, "_HAVE_SOUNDFILE", True)
+    monkeypatch.setattr(
+        mm,
+        "_soundfile_decode",
+        lambda p: {
+            "feat_hash": "sf-" + str(len(p)),
+            "width": None,
+            "height": None,
+            "duration_ms": 1234,
+        },
+    )
+    for payload in (flac, b"OggSfakeoggstream"):
+        got = mm._decode_media(payload, strict=True)
+        assert got["feat_hash"] == "sf-" + str(len(payload))
+        assert got["duration_ms"] == 1234
+    monkeypatch.setattr(mm, "_HAVE_SOUNDFILE", False)
+    with pytest.raises(NotImplementedError):
+        mm._decode_media(flac, strict=True)
+    assert mm._decode_media(flac, strict=False) == mm._fake_decode(flac)
+    # a truncated stream with the right magic must not crash the stage:
+    # decode failure falls back to the fake under lax mode
+    monkeypatch.setattr(mm, "_HAVE_SOUNDFILE", True)
+
+    def boom(p):
+        raise ValueError("truncated stream")
+
+    monkeypatch.setattr(mm, "_soundfile_decode", boom)
+    assert mm._decode_media(flac, strict=False) == mm._fake_decode(flac)
+    with pytest.raises(ValueError):
+        mm._decode_media(flac, strict=True)
+
+
 def test_kmeans_refine_max_members_caps_skewed_cell(spark):
     """A popular cell folds only its max_members deterministically
     chosen members (smallest (md5-hash, id)) — the aggregation-buffer
@@ -1677,3 +1719,44 @@ def test_cms_heavy_hitters_exact_despite_collisions(spark):
         .collect()
     }
     assert got == want and ("whale", 120) in got
+
+
+def test_bpe_train_and_encode_hand_checked(spark):
+    """Sennrich toy corpus: merge order and counts are hand-derivable
+    ('lo' carries low+lower+lowest mass -> rank 1, then 'low'; 'ew'
+    then 'new'; rank-5 tie between er/es/st breaks to 'er' by the
+    (count DESC, left, right) rule), and encoding applies the merges
+    rank-ordered with the leftmost-first greedy fold."""
+    from loggie_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low lower lowest low low"),
+            (2, "new newer newest new"),
+            (3, "low new low"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    merges = bpe_train(docs, n_merges=5, top_words=100)
+    assert [(m["left"], m["right"], m["pair_count"]) for m in merges] == [
+        ("l", "o", 7),
+        ("lo", "w", 7),
+        ("e", "w", 5),
+        ("n", "ew", 5),
+        ("e", "r", 2),
+    ]
+    got = {
+        r.doc_id: (r.n_tokens, r.tokens)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    assert got == {
+        1: (9, "low low er low e s t low low"),
+        2: (8, "new new er new e s t new"),
+        3: (3, "low new low"),
+    }
+    # overlap rule: 'aaa' + (a,a) merges leftmost-first -> [aa, a]
+    tri = spark.createDataFrame([(1, "aaa aaa")], "doc_id LONG, text STRING")
+    m2 = bpe_train(tri, n_merges=1, top_words=10)
+    assert [(m["left"], m["right"]) for m in m2] == [("a", "a")]
+    enc = bpe_encode(tri, m2).collect()[0]
+    assert (enc.n_tokens, enc.tokens) == (4, "aa a aa a")
