@@ -81,6 +81,8 @@ BENCH_QUERIES = [
     "td_idf_keywords_capped",
     "td_bpe_train",
     "td_bpe_encode",
+    "th_retention",
+    "td_token_budget_plan",
 ]
 
 

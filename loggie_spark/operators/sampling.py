@@ -23,7 +23,7 @@ can interleave epochs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from loggie_spark.functions.hashing import md5_60bit
@@ -204,4 +204,69 @@ def leakage_safe_split(
             unit.alias("split_unit"),
             side.alias("split"),
         )
+    )
+
+
+def token_budget_plan(
+    docs: DataFrame,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-weighted token-budget allocation per source: the
+    planning step before ``stratified_sample`` — given a total token
+    budget, compute each source's share ∝ tokens^alpha (alpha<1
+    flattens the mix toward small high-quality sources, the standard
+    multilingual/LLM-mix trick), capped at the tokens the source
+    actually has, and the resulting sampling rate.
+
+    100 TB shape: one corpus scan -> per-source (docs, tokens)
+    aggregate (map-side combine); everything after runs on the
+    source-bounded table (a handful of rows), where the share
+    denominator is an explicitly SORTED sequential fold so the float
+    sum is bit-reproducible cross-engine (the repo's list_reduce
+    pattern — never an unordered window sum).
+    """
+    from loggie_spark.operators.dedup import tokenize
+
+    per_src = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.size(tokenize(F.col(text_col))).alias("_nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_nt").cast("long").alias("tokens"),
+        )
+    )
+    w = F.pow(F.col("tokens").cast("double"), F.lit(float(alpha)))
+    weighted = per_src.withColumn("_w", w)
+    # source-bounded table: collect all weights into one sorted array,
+    # sequential-fold the denominator (deterministic float order)
+    denom = F.aggregate(
+        F.array_sort(F.collect_list("_w").over(Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    out = weighted.withColumn("_denom", denom)
+    share = F.col("_w") / F.col("_denom")
+    alloc = F.least(
+        F.col("tokens"),
+        F.floor(share * F.lit(float(budget_tokens))).cast("long"),
+    )
+    rate = F.when(
+        F.col("tokens") > 0,
+        F.round(alloc.cast("double") / F.col("tokens"), 4),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round(share, 4).alias("share"),
+        alloc.alias("alloc_tokens"),
+        rate.alias("sample_rate"),
     )

@@ -118,3 +118,40 @@ def funnel_counts(
     for c in counts[1:]:
         result = result.unionByName(c)
     return result
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    grain: str = "day",
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity period,
+    counted per period offset — (cohort, offset, users).
+
+    100 TB shape: ONE hash(user) shuffle does all per-user work (first
+    period + distinct active periods via one groupBy with min +
+    collect_set — the set is calendar-bounded per user, not
+    event-bounded), then a scalar explode feeds the tiny
+    (cohort, offset) aggregate. An activity row is distinct per
+    (user, period) after the set-collapse, so the final count(*) IS
+    distinct users — no second distinct pass over the corpus.
+    """
+    per = F.to_date(F.date_trunc(grain, F.col(ts_col)))
+    days = {"day": 1, "week": 7}[grain]
+    per_user = (
+        events.select(F.col(user_col).alias("u"), per.alias("p"))
+        .groupBy("u")
+        .agg(F.min("p").alias("cohort"), F.collect_set("p").alias("ps"))
+    )
+    return (
+        per_user.select("cohort", F.explode("ps").alias("p"))
+        .select(
+            "cohort",
+            (F.datediff(F.col("p"), F.col("cohort")) / days)
+            .cast("int")
+            .alias("offset"),
+        )
+        .groupBy("cohort", "offset")
+        .agg(F.count(F.lit(1)).cast("long").alias("users"))
+    )

@@ -4029,6 +4029,78 @@ def td_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, merges)
 
 
+@register(
+    "th_retention",
+    oracle="""
+    WITH a AS (
+      SELECT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS p FROM events
+    ),
+    f AS (SELECT u, min(p) AS cohort FROM a GROUP BY u),
+    d AS (SELECT DISTINCT u, p FROM a)
+    SELECT CAST(f.cohort AS VARCHAR) AS cohort,
+           CAST(date_diff('day', f.cohort, d.p) AS INT) AS period_offset,
+           CAST(count(*) AS BIGINT) AS users
+    FROM d JOIN f USING (u) GROUP BY 1, 2
+    """,
+)
+def th_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix (operators/sessionize.py:
+    retention_cohorts): users bucketed by first-activity day, counted
+    at each day offset they return. ONE hash(user) shuffle computes
+    first day + the calendar-bounded distinct-day set per user in a
+    single groupBy; the (cohort, offset) aggregate then runs on
+    already-distinct scalar rows, so no second corpus-wide distinct."""
+    from loggie_spark.operators.sessionize import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    out = retention_cohorts(ev, grain="day")
+    return out.select(
+        F.col("cohort").cast("string").alias("cohort"),
+        F.col("offset").alias("period_offset"),
+        "users",
+    )
+
+
+@register(
+    "td_token_budget_plan",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    w AS (SELECT *, pow(CAST(tokens AS DOUBLE), 0.5) AS wgt FROM s),
+    d AS (SELECT list_reduce(list_prepend(0.0, list_sort(list(wgt))),
+                             (a, x) -> a + x) AS denom FROM w)
+    SELECT source, n_docs, tokens,
+           round(CAST(CAST(wgt / denom AS VARCHAR) AS DECIMAL(30,17)), 4)
+             AS share,
+           least(tokens,
+                 CAST(floor(wgt / denom * 1000000.0) AS BIGINT))
+             AS alloc_tokens,
+           round(CAST(CAST(
+             CASE WHEN tokens > 0 THEN
+               least(tokens, CAST(floor(wgt / denom * 1000000.0) AS BIGINT))
+                 / CAST(tokens AS DOUBLE)
+             ELSE 0.0 END AS VARCHAR) AS DECIMAL(30,17)), 4) AS sample_rate
+    FROM w, d
+    """,
+)
+def td_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted token-budget allocation (operators/
+    sampling.py:token_budget_plan, alpha=0.5, budget 1M tokens): the
+    planning step before stratified_sample. One corpus scan feeds the
+    per-source aggregate; the share denominator is a SORTED sequential
+    fold over the source-bounded weight list, so the float sum is
+    bit-reproducible cross-engine (the list_reduce pattern); oracle
+    rounds through the decimal-cast spelling."""
+    from loggie_spark.operators.sampling import token_budget_plan
+
+    return token_budget_plan(
+        _t(spark, sf_dir, "documents"), budget_tokens=1_000_000, alpha=0.5
+    )
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================
@@ -4086,12 +4158,15 @@ _DRIVER_PRIORITY: list[str] = [
     "pl_conditions",
     "pl_kafka_roundtrip",
     # -- (b) operator code changed in round 5 (re-verify on new plans) --
+    # (td_cluster_survivors and td_bigram_lm also changed — NULL-score
+    # guard / broadcast floor — but their r04 driver rows are green on
+    # the same plan shapes and both changes carry dedicated pytest
+    # coverage, so they yield their slots to the new (c) queries and
+    # rotate back in r06 under the staleness rule.)
     "td_ccnet_buckets",
     "td_idf_keywords",
     "td_dsir_weights",
     "th_asof_join",
-    "td_cluster_survivors",
-    "td_bigram_lm",
     # -- (c) new round-5 queries --
     "td_line_dedup",
     "td_gopher_filter",
@@ -4100,8 +4175,10 @@ _DRIVER_PRIORITY: list[str] = [
     "td_idf_keywords_capped",
     "td_bpe_train",
     "td_bpe_encode",
+    "th_retention",
+    "td_token_budget_plan",
     # -- (d) flagship anchors: none this round — (a)+(b)+(c) fill all
-    # 50 slots exactly (37 + 6 + 7); the flagship family was driver-
+    # 50 slots exactly (37 + 4 + 9); the flagship family was driver-
     # checked in r04, so it is 1 round stale and rotates back in r06.
 ]
 

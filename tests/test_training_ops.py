@@ -1760,3 +1760,61 @@ def test_bpe_train_and_encode_hand_checked(spark):
     assert [(m["left"], m["right"]) for m in m2] == [("a", "a")]
     enc = bpe_encode(tri, m2).collect()[0]
     assert (enc.n_tokens, enc.tokens) == (4, "aa a aa a")
+
+
+def test_retention_cohorts_hand_checked(spark):
+    """Two cohorts, one returning user: u1 first seen day 0 and active
+    again day 2 (two events that day collapse to ONE distinct period);
+    u2 first seen day 1 only."""
+    from loggie_spark.operators.sessionize import retention_cohorts
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-03 09:00:00"),
+            (1, "2024-01-03 23:00:00"),
+            (2, "2024-01-02 12:00:00"),
+        ],
+        "user_id LONG, ts STRING",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+    got = {
+        (str(r.cohort), r.offset): r.users
+        for r in retention_cohorts(ev, grain="day").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_token_budget_plan_caps_and_rates(spark):
+    """sqrt-temperature shares: sources with 400 vs 100 tokens split a
+    30-token budget 2:1 (sqrt(400):sqrt(100)); a tiny source whose
+    proportional allocation exceeds its stock is capped at the stock
+    and its sample_rate pins to 1.0."""
+    from loggie_spark.operators.sampling import token_budget_plan
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "web", "w " * 10))          # 400 tokens
+    for i in range(40, 50):
+        rows.append((i, "wiki", "w " * 10))         # 100 tokens
+    rows.append((50, "tiny", "a b c d"))            # 4 tokens
+    docs = spark.createDataFrame(rows, "doc_id LONG, source STRING, text STRING")
+    got = {
+        r.source: (r.tokens, r.alloc_tokens, r.sample_rate)
+        for r in token_budget_plan(docs, budget_tokens=30, alpha=0.5).collect()
+    }
+    # weights: 20, 10, 2 -> denom 32; allocs: floor(30*20/32)=18,
+    # floor(30*10/32)=9, floor(30*2/32)=1 (< its 4-token stock)
+    assert got["web"] == (400, 18, round(18 / 400, 4))
+    assert got["wiki"] == (100, 9, round(9 / 100, 4))
+    assert got["tiny"] == (4, 1, 0.25)
+    # budget larger than a source's stock -> capped, rate 1.0
+    got2 = {
+        r.source: (r.alloc_tokens, r.sample_rate)
+        for r in token_budget_plan(docs, budget_tokens=10_000, alpha=0.5).collect()
+    }
+    assert got2["tiny"] == (4, 1.0)
+    assert got2["wiki"] == (100, 1.0)
