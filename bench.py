@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "td_bpe_encode",
     "th_retention",
     "td_token_budget_plan",
+    "td_hashed_linear_score",
 ]
 
 

@@ -237,3 +237,66 @@ def with_compression_ratio(
     ratio = pandas_udf(lambda texts: texts.map(one), "double")
 
     return df.withColumn(out_col, F.round(ratio(F.col(text_col)), 4))
+
+
+def pseudo_model_weights(n_buckets: int = 1024, seed: int = 7) -> list[int]:
+    """Deterministic int-quantized stand-in for a trained linear model:
+    w[b] = md5_60bit(f"{seed}|{b}") % 201 - 100 ∈ [-100, 100]. Computed
+    with hashlib to the exact md5_60bit spelling, so Spark, DuckDB and
+    the driver all derive the identical vector."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}|{b}".encode()).hexdigest()[:15], 16) % 201 - 100
+        for b in range(n_buckets)
+    ]
+
+
+def hashed_linear_score(
+    docs: DataFrame,
+    weights: list[int] | None = None,
+    n_buckets: int = 1024,
+    seed: int = 7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hashed-feature linear classifier inference — the fasttext-style
+    quality-filter scoring pass, with int-quantized weights so the
+    score is exact integer arithmetic (cross-engine reproducible, no
+    float-sum ordering).
+
+    100 TB shape: the model rides the PLAN as ONE array literal
+    (n_buckets ints — the quantized-model-broadcast path), each doc
+    folds its hashed words through element_at in-row: zero joins, zero
+    shuffles, whole plan narrow. A real trained model drops in via
+    ``weights``; the default is :func:`pseudo_model_weights`.
+    """
+    from loggie_spark.operators.dedup import _materialize
+
+    if weights is None:
+        weights = pseudo_model_weights(n_buckets, seed)
+    if len(weights) != n_buckets:
+        raise ValueError(f"weights must have n_buckets={n_buckets} entries")
+    wlit = F.lit(weights)
+    step = _materialize(
+        docs, {"_ws": tokenize(F.coalesce(F.col(text_col), F.lit("")))}
+    )
+    contrib = F.transform(
+        F.col("_ws"),
+        lambda w: F.element_at(
+            wlit, (F.pmod(md5_60bit(w), F.lit(n_buckets)) + 1).cast("int")
+        ),
+    )
+    score = F.aggregate(
+        contrib, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    out = step.select(
+        id_col,
+        F.size("_ws").cast("int").alias("n_words"),
+        score.alias("score"),
+    )
+    spt = F.when(
+        F.col("n_words") > 0,
+        F.round(F.col("score").cast("double") / F.col("n_words"), 4),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("score_per_token", spt)

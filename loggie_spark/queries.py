@@ -4101,6 +4101,40 @@ def td_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "td_hashed_linear_score",
+    oracle=f"""
+    WITH wt AS (
+      SELECT b, {md5_60bit_sql("CAST(b AS VARCHAR)", seed=7)} % 201 - 100 AS w
+      FROM generate_series(0, 1023) t(b)
+    ),
+    ww AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    j AS (SELECT doc_id, wt.w AS w
+          FROM ww JOIN wt ON wt.b = {md5_60bit_sql("word")} % 1024),
+    agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+                   CAST(sum(w) AS BIGINT) AS score FROM j GROUP BY doc_id)
+    SELECT d.doc_id, CAST(coalesce(a.n_words, 0) AS INT) AS n_words,
+           CAST(coalesce(a.score, 0) AS BIGINT) AS score,
+           round(CAST(CAST(CASE WHEN a.n_words > 0
+             THEN a.score / CAST(a.n_words AS DOUBLE) ELSE 0.0 END
+             AS VARCHAR) AS DECIMAL(30,17)), 4) AS score_per_token
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def td_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality scoring (operators/textstats.py:
+    hashed_linear_score): fasttext-style classifier inference with
+    int-quantized weights. The 1024-int model rides the plan as ONE
+    array literal (quantized-model broadcast), each doc folds its
+    md5-hashed words through element_at in-row — zero joins, zero
+    shuffles, exact integer score (no float-sum ordering). The oracle
+    derives the identical md5 pseudo-weights and reproduces the score
+    via an explode + bucket join."""
+    from loggie_spark.operators.textstats import hashed_linear_score
+
+    return hashed_linear_score(_t(spark, sf_dir, "documents"))
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================
@@ -4158,13 +4192,14 @@ _DRIVER_PRIORITY: list[str] = [
     "pl_conditions",
     "pl_kafka_roundtrip",
     # -- (b) operator code changed in round 5 (re-verify on new plans) --
-    # (td_cluster_survivors and td_bigram_lm also changed — NULL-score
-    # guard / broadcast floor — but their r04 driver rows are green on
-    # the same plan shapes and both changes carry dedicated pytest
-    # coverage, so they yield their slots to the new (c) queries and
-    # rotate back in r06 under the staleness rule.)
+    # (td_cluster_survivors, td_bigram_lm and td_idf_keywords also
+    # changed — NULL-score guard / broadcast floor / dropped broadcast
+    # hint — but their r04 driver rows are green, the changes carry
+    # dedicated pytest + plan-guard coverage (and the new capped idf
+    # query exercises the bounded path), so they yield their slots to
+    # the new (c) queries and rotate back in r06 under the staleness
+    # rule.)
     "td_ccnet_buckets",
-    "td_idf_keywords",
     "td_dsir_weights",
     "th_asof_join",
     # -- (c) new round-5 queries --
@@ -4177,8 +4212,9 @@ _DRIVER_PRIORITY: list[str] = [
     "td_bpe_encode",
     "th_retention",
     "td_token_budget_plan",
+    "td_hashed_linear_score",
     # -- (d) flagship anchors: none this round — (a)+(b)+(c) fill all
-    # 50 slots exactly (37 + 4 + 9); the flagship family was driver-
+    # 50 slots exactly (37 + 3 + 10); the flagship family was driver-
     # checked in r04, so it is 1 round stale and rotates back in r06.
 ]
 

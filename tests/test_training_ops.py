@@ -1818,3 +1818,49 @@ def test_token_budget_plan_caps_and_rates(spark):
     }
     assert got2["tiny"] == (4, 1.0)
     assert got2["wiki"] == (100, 1.0)
+
+
+def test_hashed_linear_score_matches_python_oracle(spark):
+    """Exact-integer classifier scores: recompute each doc's score in
+    pure Python with the same md5 bucket hash + pseudo-weights and
+    require equality (no float tolerance — the operator is integer
+    arithmetic end to end). Also: custom weights, empty text, and the
+    n_buckets contract."""
+    import hashlib
+
+    import pytest
+
+    from loggie_spark.operators.textstats import (
+        hashed_linear_score,
+        pseudo_model_weights,
+    )
+
+    W = pseudo_model_weights()
+
+    def h(word):
+        return int(hashlib.md5(word.encode()).hexdigest()[:15], 16) % 1024
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "  "), (3, "zebra"), (4, None)],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.score, r.score_per_token)
+        for r in hashed_linear_score(docs).collect()
+    }
+    for doc_id, text in [
+        (1, "the cat sat on the mat"),
+        (2, "  "),
+        (3, "zebra"),
+        (4, None),  # NULL text must score (0, 0, 0.0), not NULL
+    ]:
+        words = (text or "").lower().split()
+        score = sum(W[h(w)] for w in words)
+        spt = round(score / len(words), 4) if words else 0.0
+        assert got[doc_id] == (len(words), score, spt), doc_id
+    # a drop-in custom model changes the score deterministically
+    flat = [1] * 1024
+    got2 = {r.doc_id: r.score for r in hashed_linear_score(docs, weights=flat).collect()}
+    assert got2 == {1: 6, 2: 0, 3: 1, 4: 0}
+    with pytest.raises(ValueError):
+        hashed_linear_score(docs, weights=[1, 2, 3])
