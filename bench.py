@@ -87,6 +87,15 @@ BENCH_QUERIES = [
 ]
 
 
+def all_bench_queries(registry) -> list[str]:
+    """Full bench coverage, never stale: the curated headline list above
+    (kept first — round-over-round comparability), then every remaining
+    registry query appended in name order. A new @register'd query gets
+    a bench row automatically."""
+    rest = sorted(n for n in registry if n not in BENCH_QUERIES)
+    return BENCH_QUERIES + rest
+
+
 def flagship_elapsed(spark) -> tuple[float, int]:
     """Time the end-to-end sequences pipeline; returns (sec, rows)."""
     import pyspark.sql.functions as F
@@ -202,7 +211,7 @@ def main() -> None:
     elapsed, rows = flagship_elapsed(spark)
 
     per_query: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in all_bench_queries(QUERIES):
         fn = QUERIES[name]
         # One untimed warm pass (codegen/JIT for the query's own huge
         # expressions — simhash's 60-term vote measured 8.5 s cold vs

@@ -190,3 +190,59 @@ def bpe_encode(
         .alias("n_tokens"),
         "tokens",
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    merges: list[dict],
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility audit: subword tokens per whitespace word
+    under a learned merge table, aggregated per corpus group — the
+    standard pre-training check for which sources a tokenizer serves
+    poorly (high fertility = more sequence length spent per word).
+
+    100 TB shape: one Arrow-batched pandas UDF pass computes each doc's
+    subword count in-row (merge list rides the closure; per-batch word
+    memoization exploits the Zipf word distribution), word counts are
+    pure Catalyst, and the only shuffle is the |groups|-row aggregate.
+    Returns ``(group_col, n_docs, n_words, n_subwords, fertility)``
+    with fertility = subwords/word rounded to 4 places; groups whose
+    docs have no words report fertility 0.0.
+    """
+    mlist = [(m["left"], m["right"], m["merged"]) for m in merges]
+
+    def n_subwords(t):
+        cache: dict = {}
+        total = 0
+        for w in (t or "").lower().split():
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = len(_encode_word(w, mlist))
+            total += got
+        return total
+
+    # lambda (no annotations): annotated defs would need pd.Series
+    # hints, and stringified hints break pandas_udf inference
+    subw = pandas_udf(lambda texts: texts.map(n_subwords), "long")
+
+    per_doc = spread_small_input(docs).select(
+        F.col(group_col),
+        F.size(tokenize(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("_nw"),
+        subw(F.col(text_col)).alias("_ns"),
+    )
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nw").alias("n_words"),
+        F.sum("_ns").alias("n_subwords"),
+    )
+    fert = F.when(
+        F.col("n_words") > 0,
+        F.round(F.col("n_subwords").cast("double") / F.col("n_words"), 4),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        group_col, "n_docs", "n_words", "n_subwords", fert.alias("fertility")
+    )

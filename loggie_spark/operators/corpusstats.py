@@ -522,3 +522,67 @@ def ngram_novelty(
         )
     )
     return per_doc
+
+
+def source_overlap(
+    docs: DataFrame,
+    shingle: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise n-gram Jaccard overlap matrix between corpus groups
+    (sources/domains/snapshots) — the cross-source contamination audit
+    run before mixing corpora: high overlap between a "new" crawl and
+    an existing source means it adds mostly duplicate mass.
+
+    100 TB shape: grams are hashed to 60-bit integers IN-ROW, then
+    reduced to DISTINCT (group, hash) scalars — the only data that ever
+    shuffles; the per-gram self-join fans out at most |groups choose 2|
+    rows per gram (groups are a bounded label set, not data-sized), and
+    the final matrix is |groups|² rows. A gram shared by every group is
+    the worst case; with G groups that is G²/2 join rows per gram —
+    bounded by the label-set size, never by corpus size. Returns
+    ``(src_a, src_b, n_common, n_a, n_b, jaccard)`` for pairs with at
+    least one shared gram (disjoint pairs are absent, by construction).
+    Docs shorter than ``shingle`` words contribute their whole text as
+    one gram (:func:`loggie_spark.operators.dedup.word_ngrams`).
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+    from loggie_spark.operators.dedup import word_ngrams
+
+    grams = F.array_distinct(word_ngrams(tokenize(F.col(text_col)), shingle))
+    base = _materialize(
+        spread_small_input(docs).select(group_col, text_col), {"_gs": grams}
+    )
+    gset = (
+        base.select(F.col(group_col).alias("grp"), F.explode("_gs").alias("_g"))
+        .select("grp", md5_60bit(F.col("_g")).alias("_h"))
+        .distinct()
+    )
+    sizes = gset.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    inter = (
+        gset.alias("a")
+        .join(
+            gset.alias("b"),
+            (F.col("a._h") == F.col("b._h")) & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("src_a"), F.col("b.grp").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("grp").alias("src_a"), F.col("n").alias("n_a")), "src_a")
+        .join(sizes.select(F.col("grp").alias("src_b"), F.col("n").alias("n_b")), "src_b")
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+        "double"
+    )
+    return out.select(
+        "src_a",
+        "src_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        F.round(jac, 4).alias("jaccard"),
+    )

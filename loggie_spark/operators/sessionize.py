@@ -155,3 +155,62 @@ def retention_cohorts(
         .groupBy("cohort", "offset")
         .agg(F.count(F.lit(1)).cast("long").alias("users"))
     )
+
+
+def burst_detect(
+    events: DataFrame,
+    grain: str = "hour",
+    z_threshold: float = 3.0,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Volume-burst detection: flag (event_type, time-bucket) cells
+    whose event count sits ``z_threshold`` sample standard deviations
+    above that type's mean bucket count — the alerting primitive for
+    traffic anomalies (log storms, retry loops, scraper bursts).
+
+    100 TB shape: one groupBy(type, bucket) reduces the corpus to
+    scalar counts with map-side partial aggregation; the per-type
+    moment aggregate then runs over |types|×|buckets| rows (tiny) and
+    joins back by type — broadcast-sized by construction. Cross-engine
+    determinism: the moments are EXACT integer sums (count, Σc, Σc²)
+    — every float derives from exact longs through one fixed
+    expression shape, so Spark and the DuckDB oracle agree bit-for-bit
+    (no float accumulation order anywhere). At corpora where a single
+    bucket's count² could exceed int64 (~3×10⁹ events per bucket),
+    widen the Σc² accumulator to decimal(38,0); counts themselves are
+    safe far beyond that.
+
+    Returns ``(event_type, bucket, cnt, mean_cnt, zscore)`` for flagged
+    cells; types with fewer than two buckets or zero variance never
+    flag (a constant series has no bursts).
+    """
+    buckets = (
+        events.groupBy(
+            type_col, F.date_trunc(grain, F.col(ts_col)).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    stats = buckets.groupBy(type_col).agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("cnt").cast("long").alias("_s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("_s2"),
+    )
+    n = F.col("_n").cast("double")
+    s = F.col("_s").cast("double")
+    s2 = F.col("_s2").cast("double")
+    mean = s / n
+    var = (s2 - s * s / n) / (n - F.lit(1.0))
+    joined = buckets.join(F.broadcast(stats), type_col).where(F.col("_n") >= 2)
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return (
+        joined.where(var > 0)
+        .where(z >= F.lit(z_threshold))
+        .select(
+            type_col,
+            "bucket",
+            "cnt",
+            F.round(mean, 4).alias("mean_cnt"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

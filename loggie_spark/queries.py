@@ -4135,6 +4135,137 @@ def td_hashed_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_linear_score(_t(spark, sf_dir, "documents"))
 
 
+_BURST_VAR_SQL = (
+    "(CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)"
+)
+_BURST_Z_SQL = (
+    "(CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" / sqrt({_BURST_VAR_SQL})"
+)
+
+
+@register(
+    "th_burst_detect",
+    oracle=f"""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) AS s,
+             CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      FROM b GROUP BY 1
+    )
+    SELECT b.event_type, b.bucket, b.cnt,
+           round(CAST(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+             AS VARCHAR) AS DECIMAL(30,17)), 4) AS mean_cnt,
+           round(CAST(CAST({_BURST_Z_SQL}
+             AS VARCHAR) AS DECIMAL(30,17)), 4) AS zscore
+    FROM b JOIN st USING (event_type)
+    WHERE n >= 2 AND {_BURST_VAR_SQL} > 0 AND {_BURST_Z_SQL} >= 3.0
+    """,
+)
+def th_burst_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type volume-burst detection (operators/sessionize.py:
+    burst_detect): hourly count z-scores against each event type's own
+    bucket distribution, flagging cells ≥3σ. One corpus shuffle
+    (groupBy type,hour with map-side combine); the per-type moment
+    table is |types| rows and broadcasts back. All moments are EXACT
+    integer sums, so Spark and DuckDB derive bit-identical floats
+    through the same expression shape — no float accumulation order
+    anywhere."""
+    from loggie_spark.operators.sessionize import burst_detect
+
+    return burst_detect(_t(spark, sf_dir, "events"), grain="hour")
+
+
+@register(
+    "td_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, {_WORDS_SQL} AS ws FROM documents
+    ),
+    grams AS (
+      SELECT source, unnest(CASE WHEN len(ws) >= 3
+          THEN [array_to_string(ws[i:i+2], ' ')
+                for i in generate_series(1, len(ws) - 2)]
+          ELSE [array_to_string(ws, ' ')] END) AS g
+      FROM toks
+    ),
+    gset AS (SELECT DISTINCT source, {md5_60bit_sql("g")} AS h FROM grams),
+    sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+              FROM gset GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM gset a JOIN gset b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           round(CAST(CAST(CAST(n_common AS DOUBLE)
+             / (sa.n + sb.n - n_common)
+             AS VARCHAR) AS DECIMAL(30,17)), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = src_a
+    JOIN sizes sb ON sb.source = src_b
+    """,
+)
+def td_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (operators/corpusstats.py:
+    source_overlap): pairwise 3-gram Jaccard between sources. Grams
+    hash to 60-bit ints in-row; only DISTINCT (source, hash) scalars
+    shuffle; the self-join fans out at most |sources|²/2 rows per gram
+    (label-bounded, never corpus-bounded). The oracle reproduces the
+    md5 gram hashes exactly, collisions included."""
+    from loggie_spark.operators.corpusstats import source_overlap
+
+    return source_overlap(_t(spark, sf_dir, "documents"), shingle=3)
+
+
+@register(
+    "td_tokenizer_fertility",
+    oracle=_BPE_PREFIX_SQL
+    + f""",
+    docw AS (
+      SELECT source, unnest(ws) AS word
+      FROM (SELECT source, {_WORDS_SQL} AS ws FROM documents)
+    ),
+    wt AS (
+      SELECT source, len({_bpe_encode_expr_sql()}) AS ntok
+      FROM docw, {", ".join(f"b{k}" for k in range(1, _BPE_N + 1))}
+    ),
+    wagg AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(ntok) AS BIGINT) AS n_subwords
+      FROM wt GROUP BY source
+    ),
+    dcount AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+               FROM documents GROUP BY source)
+    SELECT d.source, d.n_docs,
+           CAST(coalesce(w.n_words, 0) AS BIGINT) AS n_words,
+           CAST(coalesce(w.n_subwords, 0) AS BIGINT) AS n_subwords,
+           round(CAST(CAST(CASE WHEN w.n_words > 0
+             THEN CAST(w.n_subwords AS DOUBLE) / w.n_words ELSE 0.0 END
+             AS VARCHAR) AS DECIMAL(30,17)), 4) AS fertility
+    FROM dcount d LEFT JOIN wagg w USING (source)
+    """,
+)
+def td_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer-fertility audit (operators/bpe.py:
+    tokenizer_fertility): subword tokens per word under the corpus-
+    trained BPE merge table (shared CTE prefix with td_bpe_train).
+    One Arrow-batched UDF pass with per-batch word memoization; the
+    only shuffle is the |sources|-row aggregate."""
+    from loggie_spark.operators.bpe import bpe_train, tokenizer_fertility
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, n_merges=_BPE_N, top_words=_BPE_TOP)
+    return tokenizer_fertility(docs, merges)
+
+
 # ===========================================================================
 # Driver-window ordering
 # ===========================================================================
@@ -4192,16 +4323,14 @@ _DRIVER_PRIORITY: list[str] = [
     "pl_conditions",
     "pl_kafka_roundtrip",
     # -- (b) operator code changed in round 5 (re-verify on new plans) --
-    # (td_cluster_survivors, td_bigram_lm and td_idf_keywords also
-    # changed — NULL-score guard / broadcast floor / dropped broadcast
-    # hint — but their r04 driver rows are green, the changes carry
-    # dedicated pytest + plan-guard coverage (and the new capped idf
-    # query exercises the bounded path), so they yield their slots to
-    # the new (c) queries and rotate back in r06 under the staleness
-    # rule.)
-    "td_ccnet_buckets",
-    "td_dsir_weights",
-    "th_asof_join",
+    # All changed-operator queries (td_cluster_survivors, td_bigram_lm,
+    # td_idf_keywords, td_ccnet_buckets, td_dsir_weights, th_asof_join)
+    # yield their slots to never-checked (c) queries this round: their
+    # r04 driver rows are green, and the changed plans get the IDENTICAL
+    # check locally every pytest run — test_oracle_parity.py runs the
+    # full registry against DuckDB at sf0.01, the driver's own SF — plus
+    # dedicated plan guards. They rotate back in r06 under the staleness
+    # rule.
     # -- (c) new round-5 queries --
     "td_line_dedup",
     "td_gopher_filter",
@@ -4213,9 +4342,12 @@ _DRIVER_PRIORITY: list[str] = [
     "th_retention",
     "td_token_budget_plan",
     "td_hashed_linear_score",
-    # -- (d) flagship anchors: none this round — (a)+(b)+(c) fill all
-    # 50 slots exactly (37 + 3 + 10); the flagship family was driver-
-    # checked in r04, so it is 1 round stale and rotates back in r06.
+    "th_burst_detect",
+    "td_source_overlap",
+    "td_tokenizer_fertility",
+    # -- (d) flagship anchors: none this round — (a)+(c) fill all 50
+    # slots exactly (37 + 13); the flagship family was driver-checked
+    # in r04, so it is 1 round stale and rotates back in r06.
 ]
 
 

@@ -1864,3 +1864,111 @@ def test_hashed_linear_score_matches_python_oracle(spark):
     assert got2 == {1: 6, 2: 0, 3: 1, 4: 0}
     with pytest.raises(ValueError):
         hashed_linear_score(docs, weights=[1, 2, 3])
+
+
+def test_burst_detect_flags_only_3sigma_buckets(spark):
+    """One type with a clear burst hour, one constant-rate type (zero
+    variance — must never flag), one single-bucket type (n<2 — must
+    never flag). Expected z recomputed in pure Python from the same
+    exact-integer moments."""
+    from datetime import datetime, timedelta
+
+    from loggie_spark.operators.sessionize import burst_detect
+
+    rows = []
+    base = datetime(2024, 1, 1)
+    # type A: 1 event/hour for 20 hours, then 50 events in hour 20
+    for h in range(20):
+        rows.append((h, base + timedelta(hours=h), "A"))
+    rows += [(100 + i, base + timedelta(hours=20, minutes=i % 50), "A") for i in range(50)]
+    # type B: exactly 2 events in each of 10 hours (zero variance)
+    for h in range(10):
+        rows += [(1000 + 2 * h, base + timedelta(hours=h), "B"),
+                 (1001 + 2 * h, base + timedelta(hours=h, minutes=30), "B")]
+    # type C: one bucket only
+    rows.append((2000, base, "C"))
+    ev = spark.createDataFrame(
+        [(i, ts, t) for i, ts, t in rows],
+        "event_id LONG, ts TIMESTAMP, event_type STRING",
+    )
+    got = burst_detect(ev, grain="hour").collect()
+    assert {r.event_type for r in got} == {"A"}
+    assert len(got) == 1
+    r = got[0]
+    # python recompute: counts = [1]*20 + [50]
+    import math
+
+    cnts = [1] * 20 + [50]
+    n, s, s2 = len(cnts), sum(cnts), sum(c * c for c in cnts)
+    mean = s / n
+    var = (s2 - s * s / n) / (n - 1.0)
+    z = (50 - mean) / math.sqrt(var)
+    assert r.cnt == 50
+    assert r.mean_cnt == round(mean, 4)
+    assert r.zscore == round(z, 4)
+    assert z >= 3.0
+
+
+def test_source_overlap_matches_python_sets(spark):
+    """Three-source corpus with engineered shared 3-grams; pairwise
+    Jaccard recomputed from python set arithmetic. A disjoint pair is
+    absent from the result by construction."""
+    from loggie_spark.operators.corpusstats import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "s1"),
+            (2, "the quick brown cat", "s2"),
+            (3, "totally different words here", "s3"),
+            (4, "hi", "s3"),  # short doc: whole text is one gram
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    got = {(r.src_a, r.src_b): r for r in source_overlap(docs).collect()}
+
+    def grams(t):
+        ws = t.lower().split()
+        if len(ws) >= 3:
+            return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        return {" ".join(ws)}
+
+    g1 = grams("the quick brown fox jumps")
+    g2 = grams("the quick brown cat")
+    g3 = grams("totally different words here") | grams("hi")
+    # s1∩s2 = {"the quick brown"}; s3 disjoint from both
+    assert set(got) == {("s1", "s2")}
+    r = got[("s1", "s2")]
+    inter = len(g1 & g2)
+    assert (r.n_common, r.n_a, r.n_b) == (inter, len(g1), len(g2))
+    assert r.jaccard == round(inter / len(g1 | g2), 4)
+
+
+def test_tokenizer_fertility_per_source(spark):
+    """Fixed two-merge table; expected subword counts recomputed via
+    the operator's own _encode_word on the python side. NULL text
+    counts as a doc with zero words; a source whose docs are all empty
+    reports fertility 0.0."""
+    from loggie_spark.operators.bpe import _encode_word, tokenizer_fertility
+
+    merges = [
+        {"left": "a", "right": "b", "merged": "ab"},
+        {"left": "ab", "right": "c", "merged": "abc"},
+    ]
+    docs = spark.createDataFrame(
+        [
+            (1, "abc ab xyz", "s1"),
+            (2, "abcabc", "s1"),
+            (3, None, "s2"),
+            (4, "", "s2"),
+        ],
+        "doc_id LONG, text STRING, source STRING",
+    )
+    got = {
+        r.source: (r.n_docs, r.n_words, r.n_subwords, r.fertility)
+        for r in tokenizer_fertility(docs, merges).collect()
+    }
+    mlist = [(m["left"], m["right"], m["merged"]) for m in merges]
+    words = ["abc", "ab", "xyz", "abcabc"]
+    ns = sum(len(_encode_word(w, mlist)) for w in words)
+    assert got["s1"] == (2, 4, ns, round(ns / 4, 4))
+    assert got["s2"] == (2, 0, 0, 0.0)
