@@ -142,24 +142,44 @@ def bloom_maybe_contains(
     positions of the item are set (the Bloom contract — false
     positives possible at ~(1-e^{-kn/m})^k, false negatives never).
 
-    The filter table is BROADCAST; the probe side computes its k
-    positions in-row, left-joins on ``pos``, and an all-hits groupBy
-    per item decides membership — no shuffle of the probe stream
-    beyond the per-item rollup.
+    The probe stream NEVER shuffles: the set-bit table folds into a
+    single-row ``word → 64-bit-mask`` map (``pos DIV 64`` plus a
+    bit_or of shifted bits — ≤ n_bits/64 entries, 64× denser than the
+    bit-position table), that one row broadcast-hash-joins in on a
+    constant key, and each probe row tests its k positions in-row with
+    ``getbit`` — no explode, no rollup, no join back. Size contract:
+    the map row is n_bits/8 bytes (8 KiB at the default 2¹⁶ bits); at
+    gigabit-scale filters keep n_bits ≤ ~2³⁰ so the broadcast stays
+    ≤ 128 MiB. NULL probe items report false, as does every probe
+    against an empty filter.
     """
-    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("seed")
-    hashed = probes.select(F.col(item_col), seeds).select(
-        item_col,
-        _bucket(F.col(item_col), F.col("seed"), n_bits).alias("pos"),
+    bitmap = (
+        bloom.groupBy(F.expr("pos DIV 64").alias("_w"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            ).alias("_bits")
+        )
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("_w", "_bits"))).alias(
+                "_bm"
+            )
+        )
+        .withColumn("_one", F.lit(1))
     )
-    hit = hashed.join(
-        F.broadcast(bloom.withColumn("_set", F.lit(True))), "pos", "left"
-    )
-    verdict = hit.groupBy(item_col).agg(
-        (F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(False)).cast("int")))
-        .alias("maybe_member")
-    )
-    return probes.join(verdict, item_col, "left")
+    joined = probes.withColumn("_one", F.lit(1)).join(F.broadcast(bitmap), "_one")
+    item = F.col(item_col)
+    checks = []
+    for i in range(k):
+        pos = _bucket(item, F.lit(i), n_bits).cast("long")
+        word = F.try_element_at("_bm", (pos / 64).cast("long"))
+        checks.append(
+            F.coalesce(F.getbit(word, pos % 64) == 1, F.lit(False))
+        )
+    maybe = checks[0]
+    for c in checks[1:]:
+        maybe = maybe & c
+    return joined.withColumn("maybe_member", maybe).drop("_one", "_bm")
 
 
 def cms_heavy_hitters(

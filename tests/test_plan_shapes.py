@@ -14,7 +14,12 @@ SF = "/root/testdata/sf0.001"
 
 # Brute-force cosine top-k IS a broadcast nested loop by definition;
 # the broadcast side is contractually bounded (query set / shard).
-BNLJ_ALLOWED = {"td_sim_topk_brute", "td_embed_dup_pairs"}
+# td_bloom_decontaminate's build side is STRUCTURALLY one row (the
+# global-aggregate bitmap fold in bloom_maybe_contains): a 1-row-build
+# BNLJ is a map-side evaluation of the probe stream, the degenerate
+# safe case — Catalyst folds the constant join key away, so no
+# equi-join shape is reachable and none would be cheaper.
+BNLJ_ALLOWED = {"td_sim_topk_brute", "td_embed_dup_pairs", "td_bloom_decontaminate"}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -209,3 +214,30 @@ def test_scan_pushdown_and_column_pruning(spark):
     cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
     assert cols == {"doc_id", "n_chars", "source"}, cols
     assert "text" not in cols  # the wide column stays on disk
+
+
+def test_bloom_probe_stream_never_shuffles(spark):
+    """Certify bloom_maybe_contains' zero-probe-shuffle contract: the
+    probe stream is never exploded (no Generate) and never shuffled —
+    every (non-broadcast) Exchange in the plan belongs to the two-stage
+    bitmap fold of the ≤ n_bits-row set-bit table, so the count is
+    exactly 2 regardless of probe size."""
+    import pyspark.sql.functions as F
+
+    from loggie_spark.operators.sketches import bloom_build, bloom_maybe_contains
+
+    # bloom as a plain position table (no bloom_build, whose bounded
+    # member-side seed explode would add its own Generate to the plan):
+    # any Generate left in the plan is then probe-attributable.
+    probes = spark.range(5000).select(F.concat(F.lit("p"), "id").alias("g"))
+    bloom = spark.range(64).select((F.col("id") * 61 % 4096).alias("pos"))
+    out = bloom_maybe_contains(bloom, probes, "g", n_bits=4096, k=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan
+    import re
+
+    # \bExchange\b does not match BroadcastExchange (word boundary), so
+    # this counts shuffle exchanges only: the groupBy(_w) fold and the
+    # SinglePartition global collect — both on the ≤ n_bits-row side.
+    shuffles = len(re.findall(r"\bExchange\b", plan))
+    assert shuffles == 2, f"expected only the 2 bitmap-fold exchanges:\n{plan}"
