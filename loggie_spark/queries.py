@@ -1446,9 +1446,12 @@ def pl_convert_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ints base-10, floats Go-'g' so '1e2'→'100' and '.50'→'.5', bools
     lowercased). The oracle emulates Go ParseInt strictness with an
     integer-regex guard (DuckDB's BIGINT cast would round '7.5'→8)."""
+    from loggie_spark.operators.dedup import spread_small_input
     from loggie_spark.processors import apply_processors
 
-    ev = _t(spark, sf_dir, "events")
+    # Per-row parse/render compute on a single-split scan — spread it
+    # (no-op at real scale, see spread_small_input).
+    ev = spread_small_input(_t(spark, sf_dir, "events"))
     uid = F.col("user_id").cast("string")
     raw = ev.select(
         "event_id",
@@ -1694,7 +1697,11 @@ def pl_tostr(spark: SparkSession, sf_dir: str) -> DataFrame:
     strconv.FormatFloat(v,'g',-1,64) shortest digits, ints base-10,
     bools "true"/"false". DuckDB's shortest-round-trip cast equals the
     Go form on this value range once the integral ``.0`` is stripped."""
-    li = _t(spark, sf_dir, "lineitem")
+    from loggie_spark.operators.dedup import spread_small_input
+
+    # Per-row string assembly, not IO — spread the single-split scan
+    # (no-op at real scale, see spread_small_input).
+    li = spread_small_input(_t(spark, sf_dir, "lineitem"))
     out = apply_program(
         li.withColumn("qty_s", F.col("l_quantity"))
         .withColumn("price_s", F.col("l_extendedprice"))
