@@ -454,21 +454,32 @@ def embedding_cosine_pairs(
     unbounded self-dedup case delegates to the bucketed
     :func:`embedding_lsh_pairs` — a corpus never meets itself in a
     cartesian product."""
-    from loggie_spark.functions.vectors import cosine
+    from loggie_spark.functions.vectors import dot, norm
 
     if sample_max_id is None:
         return embedding_lsh_pairs(
             df, vec_col=vec_col, id_col=id_col, threshold=threshold, dim=dim
         ).select("id_a", "id_b", "cos")
 
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # Norms once per VECTOR (n evals), not per pair (n² evals); the
+    # division grouping dot/(na*nb) is bit-identical to cosine()'s.
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_nrm"),
+    )
     left = base.filter(F.col("_id") < sample_max_id)
     pairs = base.alias("r").join(
         F.broadcast(left.alias("l")), F.col("l._id") < F.col("r._id")
     )
-    cos = F.round(cosine(F.col("l._v"), F.col("r._v")), 4)
-    return pairs.select(
-        F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), cos.alias("cos")
+    cos = F.round(
+        dot(F.col("l._v"), F.col("r._v")) / (F.col("l._nrm") * F.col("r._nrm")), 4
+    )
+    # Barrier: without it the filter re-inlines the O(dim) dot fold and
+    # it runs twice per pair (once gating, once projecting).
+    scored = _materialize(pairs, {"cos": cos})
+    return scored.select(
+        F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"), "cos"
     ).filter(F.col("cos") >= threshold)
 
 
@@ -495,7 +506,7 @@ def embedding_lsh_pairs(
     Returns (id_a, id_b, cos, n_bands) with id_a < id_b; ``n_bands``
     = how many bands matched (a confidence signal).
     """
-    from loggie_spark.functions.vectors import cosine
+    from loggie_spark.functions.vectors import dot, norm
     from loggie_spark.operators.similarity import lsh_bucket
 
     base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
@@ -514,6 +525,14 @@ def embedding_lsh_pairs(
         "_id", F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket")
     )
     banded, keys = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
+    # Pre-partition by the equi-join keys with an EXPLICIT repartition:
+    # the band table is scalar-tiny in bytes but the self-join below
+    # expands it ~100×, so AQE's byte-based coalescing would run the
+    # whole enumeration in 1-2 tasks. The explicit keyed exchange is
+    # exempt from coalescing and is reused by both join sides.
+    banded = banded.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *keys
+    )
     l, r = banded.alias("l"), banded.alias("r")
     cond = F.col("l._id") < F.col("r._id")
     for k in keys:
@@ -523,15 +542,35 @@ def embedding_lsh_pairs(
         .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
-    vecs = base
+    # The candidate frame is scalar-tiny in BYTES but each row costs an
+    # O(dim) verify — AQE's byte-based coalescing would shrink it to 1-2
+    # tasks and serialize the verify. An explicit keyed repartition is
+    # exempt from AQE coalescing; cluster defaultParallelism = total
+    # cores, the right verify-stage width at any scale.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
+    # Norms once per VECTOR joined alongside, not recomputed per
+    # candidate pair; dot/(na*nb) is bit-identical to cosine()'s
+    # dot/(norm(a)*norm(b)) grouping, so oracle parity is unchanged.
+    vecs = base.withColumn("_nrm", norm(F.col("_v")))
     cand = cand.join(
-        vecs.select(F.col("_id").alias("id_a"), F.col("_v").alias("va")), "id_a"
-    ).join(vecs.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb")), "id_b")
-    cos = F.round(cosine(F.col("va"), F.col("vb")), 4)
-    return (
-        cand.withColumn("cos", cos)
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos", "n_bands")
+        vecs.select(
+            F.col("_id").alias("id_a"), F.col("_v").alias("va"), F.col("_nrm").alias("na")
+        ),
+        "id_a",
+    ).join(
+        vecs.select(
+            F.col("_id").alias("id_b"), F.col("_v").alias("vb"), F.col("_nrm").alias("nb")
+        ),
+        "id_b",
+    )
+    cos = F.round(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    # Barrier: the threshold filter would otherwise re-inline the
+    # O(dim) dot fold and run it twice per candidate.
+    scored = _materialize(cand, {"cos": cos})
+    return scored.filter(F.col("cos") >= threshold).select(
+        "id_a", "id_b", "cos", "n_bands"
     )
 
 

@@ -954,10 +954,10 @@ def td_embed_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, no cartesian anywhere. Threshold 0.4 (not the 0.95
     production default) because the synthetic corpus has no true
     near-dups — see td_embed_dup_pairs."""
-    from loggie_spark.operators.dedup import embedding_lsh_pairs
+    from loggie_spark.operators.dedup import embedding_lsh_pairs, spread_small_input
 
     return embedding_lsh_pairs(
-        _t(spark, sf_dir, "embeddings"),
+        spread_small_input(_t(spark, sf_dir, "embeddings")),
         threshold=0.4,
         bands=2,
         planes_per_band=4,
