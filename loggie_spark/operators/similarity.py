@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from loggie_spark.functions.vectors import cosine, dot
+from loggie_spark.functions.vectors import cosine, dot, norm
 
 
 def brute_force_topk(
@@ -36,11 +36,27 @@ def brute_force_topk(
     Returns (query_id, neighbor_id, cos, rank); self-matches excluded;
     ties broken by neighbor id for determinism.
     """
-    q = queries.select(F.col(q_id).alias("query_id"), F.col(q_vec).alias("_qv"))
-    c = corpus.select(F.col(c_id).alias("neighbor_id"), F.col(c_vec).alias("_cv"))
+    # Norms once per ROW on each side before the join (not per pair);
+    # dot/(qn*cn) keeps cosine()'s exact grouping so results are
+    # bit-identical.
+    q = queries.select(
+        F.col(q_id).alias("query_id"),
+        F.col(q_vec).alias("_qv"),
+        norm(F.col(q_vec)).alias("_qn"),
+    )
+    c = corpus.select(
+        F.col(c_id).alias("neighbor_id"),
+        F.col(c_vec).alias("_cv"),
+        norm(F.col(c_vec)).alias("_cn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 4))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -94,17 +110,24 @@ def lsh_topk(
     q = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(q_vec).alias("_qv"),
+        norm(F.col(q_vec)).alias("_qn"),
         lsh_bucket(F.col(q_vec), n_planes, dim).alias("_bucket"),
     )
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"),
         F.col(c_vec).alias("_cv"),
+        norm(F.col(c_vec)).alias("_cn"),
         lsh_bucket(F.col(c_vec), n_planes, dim).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), ["_bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 4))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -174,18 +197,31 @@ def load_centroids(spark, path: str) -> list[tuple[int, list[float]]]:
 
 def _cell_scores(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """array<struct<cos,cid>> of rounded cosine vs every centroid —
-    struct ordering gives (max cos, then max cid) argmax/sort for free."""
-    return F.array(
-        *[
-            F.struct(
-                F.round(cosine(vec, F.array(*[F.lit(x) for x in cv])), 4).alias(
-                    "cos"
-                ),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cv in cents
-        ]
-    )
+    struct ordering gives (max cos, then max cid) argmax/sort for free.
+
+    ``norm(vec)`` binds once per row (let_bind) instead of once per
+    centroid; each centroid's own norm is an expression over literals
+    that ConstantFolding evaluates at plan time. dot/(n*norm(c)) keeps
+    cosine()'s exact grouping — bit-identical scores."""
+    from loggie_spark.functions.gofmt import let_bind
+
+    def scores(t: Column) -> Column:
+        v, n = t["v"], t["n"]
+        return F.array(
+            *[
+                F.struct(
+                    F.round(
+                        dot(v, F.array(*[F.lit(x) for x in cv]))
+                        / (n * norm(F.array(*[F.lit(x) for x in cv]))),
+                        4,
+                    ).alias("cos"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+
+    return let_bind(F.struct(vec.alias("v"), norm(vec).alias("n")), scores)
 
 
 def ivf_topk(
@@ -219,6 +255,7 @@ def ivf_topk(
     c = corpus.select(
         F.col(c_id).alias("neighbor_id"),
         F.col(c_vec).alias("_cv"),
+        norm(F.col(c_vec)).alias("_cn"),
         best_cell(F.col(c_vec)).alias("cell"),
     )
     # nprobe nearest cells per query: sort the scores descending by
@@ -230,12 +267,18 @@ def ivf_topk(
     q = queries.select(
         F.col(q_id).alias("query_id"),
         F.col(q_vec).alias("_qv"),
+        norm(F.col(q_vec)).alias("_qn"),
         F.explode(probed).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), ["cell"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("_qv"), F.col("_cv")), 4))
+        .withColumn(
+            "cos",
+            F.round(
+                dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")), 4
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -285,12 +328,18 @@ def kmeans_refine(
     dim = len(cents[0][1])
 
     def assign(cs: list[tuple[int, list[float]]]) -> DataFrame:
+        # Two getFields off ONE projected _best column (two-step select):
+        # a single-expression form would evaluate the k-cosine argmax
+        # twice per row (CollapseProject keeps the split — _best is
+        # non-cheap and referenced twice).
         best = F.array_max(_cell_scores(F.col(c_vec), cs))
         return corpus.select(
+            F.col(c_id), F.col(c_vec).alias("_v"), best.alias("_best")
+        ).select(
             F.col(c_id),
-            F.col(c_vec).alias("_v"),
-            best.getField("cid").alias("cell"),
-            best.getField("cos").alias("cos"),
+            "_v",
+            F.col("_best.cid").alias("cell"),
+            F.col("_best.cos").alias("cos"),
         )
 
     from loggie_spark.functions.hashing import md5_60bit
