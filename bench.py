@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "th_heavy_hitters",
     "td_group_sample",
     "td_kmeans_refine",
+    "td_semdedup",
     "td_ccnet_buckets",
     "td_ngram_novelty",
     "th_funnel",

@@ -574,6 +574,94 @@ def embedding_lsh_pairs(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    threshold: float = 0.95,
+    iters: int = 1,
+    c_id: str = "vec_id",
+    c_vec: str = "embedding",
+    max_members: int | None = 4096,
+    cell_cap: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, call any within-cluster pair above a
+    cosine ``threshold`` a semantic duplicate, and keep exactly ONE
+    member per duplicate group — the one LEAST similar to its centroid
+    (the paper's diversity-maximizing choice; ties by smallest id).
+    Singletons are trivially kept.
+
+    Composition of certified pieces: ``similarity.kmeans_refine`` (the
+    engine-deterministic Lloyd quantizer) scopes the pair search so no
+    vector ever meets a vector from another cell; the within-cell pair
+    join is a plain equi-join on ``cell`` with per-row precomputed
+    norms; ``dup_clusters`` turns threshold pairs into duplicate groups
+    (transitive closure — SemDeDup's ε-ball grouping).
+
+    100 TB shape: cells bound candidate generation exactly like LSH
+    buckets (``cell_cap`` salts oversize cells via the _cap_buckets
+    guard — same recall trade, documented there); the cluster/survivor
+    stages shuffle only scalar (id, cell, cos) rows; the verify and
+    enumeration stages get explicit keyed repartitions (AQE's
+    byte-based coalescing would serialize them — see
+    embedding_lsh_pairs).
+
+    Returns ``(c_id, cell, cos, cluster_id, keep)`` — ``cos`` is the
+    centroid similarity from the assignment, ``cluster_id`` the dup
+    group's min member id, ``keep`` the SemDeDup survivor flag.
+    """
+    from pyspark.sql import Window
+
+    from loggie_spark.functions.vectors import dot, norm
+    from loggie_spark.operators.similarity import kmeans_refine
+
+    assigned, _ = kmeans_refine(
+        corpus,
+        n_cells=n_cells,
+        iters=iters,
+        c_id=c_id,
+        c_vec=c_vec,
+        max_members=max_members,
+    )
+    vecs = corpus.select(
+        F.col(c_id).alias("_id"),
+        F.col(c_vec).alias("_v"),
+        norm(F.col(c_vec)).alias("_nrm"),
+    )
+    side = assigned.select(F.col(c_id).alias("_id"), "cell").join(vecs, "_id")
+    side, keys = _cap_buckets(side, ["cell"], cell_cap)
+    side = side.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism, *keys
+    )
+    l, r = side.alias("l"), side.alias("r")
+    cond = F.col("l._id") < F.col("r._id")
+    for k in keys:
+        cond = (F.col(f"l.{k}") == F.col(f"r.{k}")) & cond
+    pair_cos = F.round(
+        dot(F.col("l._v"), F.col("r._v")) / (F.col("l._nrm") * F.col("r._nrm")), 4
+    )
+    scored = _materialize(l.join(r, cond), {"_pcos": pair_cos})
+    dup_pairs = scored.filter(F.col("_pcos") >= threshold).select(
+        F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b")
+    )
+    clusters = dup_clusters(dup_pairs)
+
+    labeled = (
+        assigned.join(
+            clusters.withColumnRenamed("doc_id", c_id), c_id, "left"
+        )
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(c_id)))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.asc("cos"), F.asc(c_id))
+    return labeled.select(
+        c_id,
+        "cell",
+        "cos",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dup-pair clustering (connected components)
 # ---------------------------------------------------------------------------

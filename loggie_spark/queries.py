@@ -874,8 +874,10 @@ def td_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole chain is regexp_replace/extract_all in codegen, zero Python.
     The oracle replays the identical pattern list in DuckDB."""
     from loggie_spark.operators.curation import pii_stats
+    from loggie_spark.operators.dedup import spread_small_input
 
-    ev = _t(spark, sf_dir, "events")
+    # 8 regex passes per row, IO-light — spread the single-split scan.
+    ev = spread_small_input(_t(spark, sf_dir, "events"))
     df = ev.select(
         "event_id", F.expr(_PII_LINE.format(str_t="STRING")).alias("text")
     )
@@ -2882,9 +2884,8 @@ def td_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 
-def _kmeans_oracle(n_cells=8, dim=64) -> str:
-    def cos(lv: str, rv: str) -> str:
-        return f"""round(
+def _kmeans_cos_sql(lv: str, rv: str) -> str:
+    return f"""round(
       list_sum([CAST({lv}[i] AS DOUBLE) * CAST({rv}[i] AS DOUBLE)
                 for i in generate_series(1, len({lv}))]) /
       (sqrt(list_sum([CAST({lv}[i] AS DOUBLE) * CAST({lv}[i] AS DOUBLE)
@@ -2892,9 +2893,15 @@ def _kmeans_oracle(n_cells=8, dim=64) -> str:
        sqrt(list_sum([CAST({rv}[i] AS DOUBLE) * CAST({rv}[i] AS DOUBLE)
                 for i in generate_series(1, len({rv}))]))), 4)"""
 
+
+def _kmeans_ctes(n_cells=8, dim=64) -> str:
+    """CTE chain ending in ``afin(vec_id, cell, cos)`` — the one-Lloyd-
+    iteration assignment shared by the kmeans and semdedup oracles."""
+    cos = _kmeans_cos_sql
+
     h = md5_60bit_sql("CAST(vec_id AS VARCHAR)")
     return f"""
-    WITH c0 AS (
+    c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY {h}) AS INTEGER) - 1 AS cid,
              embedding AS cv
       FROM embeddings ORDER BY {h} LIMIT {n_cells}
@@ -2926,14 +2933,69 @@ def _kmeans_oracle(n_cells=8, dim=64) -> str:
     c1f AS (
       SELECT c0.cid, coalesce(c1.cv, CAST(c0.cv AS DOUBLE[])) AS cv
       FROM c0 LEFT JOIN c1 USING (cid)
-    )
-    SELECT vec_id, CAST(cell AS INTEGER) AS cell, cos FROM (
-      SELECT e.vec_id, t.cid AS cell, {cos("e.embedding", "t.cv")} AS cos,
-             row_number() OVER (PARTITION BY e.vec_id
-               ORDER BY {cos("e.embedding", "t.cv")} DESC, t.cid DESC) AS rn
-      FROM embeddings e CROSS JOIN c1f t
-    ) z WHERE rn = 1
+    ),
+    afin AS (
+      SELECT vec_id, CAST(cell AS INTEGER) AS cell, cos FROM (
+        SELECT e.vec_id, t.cid AS cell, {cos("e.embedding", "t.cv")} AS cos,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {cos("e.embedding", "t.cv")} DESC, t.cid DESC) AS rn
+        FROM embeddings e CROSS JOIN c1f t
+      ) z WHERE rn = 1
+    )"""
+
+
+def _kmeans_oracle(n_cells=8, dim=64) -> str:
+    return f"WITH {_kmeans_ctes(n_cells, dim)} SELECT vec_id, cell, cos FROM afin"
+
+
+def _semdedup_oracle(n_cells=8, threshold=0.4, dim=64) -> str:
+    pc = _kmeans_cos_sql("l.embedding", "r.embedding")
+    return f"""
+    WITH RECURSIVE {_kmeans_ctes(n_cells, dim)},
+    av AS (
+      SELECT a.vec_id, a.cell, e.embedding
+      FROM afin a JOIN embeddings e USING (vec_id)
+    ),
+    p AS (
+      SELECT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM av l JOIN av r ON l.cell = r.cell AND l.vec_id < r.vec_id
+      WHERE {pc} >= {threshold}
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p
+    ),
+    reach(node, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.lab
+    ),
+    cl AS (SELECT node, MIN(lab) AS lab FROM reach GROUP BY node)
+    SELECT a.vec_id, a.cell, a.cos,
+           coalesce(cl.lab, a.vec_id) AS cluster_id,
+           (row_number() OVER (PARTITION BY coalesce(cl.lab, a.vec_id)
+              ORDER BY a.cos ASC, a.vec_id ASC) = 1) AS keep
+    FROM afin a LEFT JOIN cl ON cl.node = a.vec_id
     """
+
+
+@register("td_semdedup", oracle=_semdedup_oracle())
+def td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (operators/dedup.py:semdedup): k-means cells scope the
+    within-cluster cosine pair search; threshold pairs group
+    transitively; each group keeps its least-centroid-similar member.
+    Threshold 0.4 (not the paper's ~0.95) because the synthetic
+    embeddings carry no true semantic dups — same calibration note as
+    td_embed_dup_lsh. The oracle replays the full chain: the shared
+    Lloyd-assignment CTEs, an exact within-cell pair join, a recursive
+    transitive closure, and the (cos, id) survivor window."""
+    from loggie_spark.operators.dedup import semdedup, spread_small_input
+
+    return semdedup(
+        spread_small_input(_t(spark, sf_dir, "embeddings")),
+        n_cells=8,
+        threshold=0.4,
+        iters=1,
+    )
 
 
 @register("td_kmeans_refine", oracle=_kmeans_oracle())
@@ -4317,7 +4379,11 @@ _DRIVER_PRIORITY: list[str] = [
     "pl_schema_interceptor",
     "pl_k8s_route",
     "pl_filesink_hash",
-    "pl_addmeta",
+    # pl_addmeta: registry (101) now exceeds 2×cap (100), so one
+    # r03-green query must sit a third round. pl_addmeta is the safest:
+    # untouched since r1, r03 driver-green, trivial enrichment fully
+    # covered by unit + sf0.01 oracle parity every pytest run. It takes
+    # front position in the r06 window.
     "pl_normalize_chain",
     "pl_convert_keep",
     "td_multimodal_featurize",
@@ -4352,6 +4418,7 @@ _DRIVER_PRIORITY: list[str] = [
     "th_burst_detect",
     "td_source_overlap",
     "td_tokenizer_fertility",
+    "td_semdedup",
     # -- (d) flagship anchors: none this round — (a)+(c) fill all 50
     # slots exactly (37 + 13); the flagship family was driver-checked
     # in r04, so it is 1 round stale and rotates back in r06.
