@@ -100,14 +100,23 @@ def bigram_lm_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_count: int = 1,
+    model_docs: DataFrame | None = None,
 ) -> DataFrame:
-    """CCNet-style LM fluency scoring, self-trained on the corpus: an
-    MLE bigram model P(w2 | w1) = c(w1,w2) / c(w1·) is estimated from
-    the corpus itself, and each document is scored with the MEAN
-    conditional probability of its bigrams. Template/boilerplate text
-    scores high, shuffled or malformed text scores low — the same
-    signal CCNet gets from a KenLM perplexity, without an external
-    model artifact.
+    """CCNet-style LM fluency scoring: an MLE bigram model
+    P(w2 | w1) = c(w1,w2) / c(w1·) is estimated from ``model_docs``
+    (default: ``docs`` itself — the self-trained form), and each
+    document is scored with the MEAN conditional probability of its
+    bigrams. Template/boilerplate text scores high, shuffled or
+    malformed text scores low — the same signal CCNet gets from a
+    KenLM perplexity, without an external model artifact.
+
+    ``model_docs`` is CCNet's actual recipe: train the LM on a trusted
+    target-domain slice (CCNet uses Wikipedia) and score the whole
+    crawl against it — documents whose bigrams never appear in the
+    target domain contribute nothing to the mean (score NULL when no
+    bigram survives), exactly like the floor-pruned case. Pass a
+    filtered view of the same table or any frame with the same
+    text/id columns.
 
     Probabilities (not log-probs) keep the score bit-reproducible
     across engines: c12/c1 is one IEEE-exact double division, and the
@@ -140,25 +149,29 @@ def bigram_lm_scores(
     # re-inlines expression trees into every element_at reference, so
     # building bigrams off tokenize(...) directly re-splits the text
     # once per element.
-    base = _materialize(
-        spread_small_input(docs).select(id_col, text_col),
-        {"_w": tokenize(F.col(text_col))},
-    )
-    w = F.col("_w")
-    bigrams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
-            lambda i: F.struct(
-                F.element_at(w, i).alias("w1"),
-                F.element_at(w, i + 1).alias("w2"),
+    def exploded_bigrams(frame: DataFrame, *head_cols: str) -> DataFrame:
+        base = _materialize(
+            spread_small_input(frame).select(id_col, text_col),
+            {"_w": tokenize(F.col(text_col))},
+        )
+        w = F.col("_w")
+        bigrams = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"),
+                    F.element_at(w, i + 1).alias("w2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    doc_bg = base.select(
-        F.col(id_col), F.explode(bigrams).alias("bg")
-    ).select(id_col, "bg.w1", "bg.w2")
-    c12 = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        return base.select(*head_cols, F.explode(bigrams).alias("bg")).select(
+            *head_cols, "bg.w1", "bg.w2"
+        )
+
+    doc_bg = exploded_bigrams(docs, id_col)
+    model_bg = doc_bg if model_docs is None else exploded_bigrams(model_docs)
+    c12 = model_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     # context counts roll up from the bigram counts (vocab²-sized), not
     # from a second pass over the corpus: c(w1·) = Σ_w2 c(w1,w2).
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))

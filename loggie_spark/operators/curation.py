@@ -424,6 +424,51 @@ def dsir_weights(
     )
 
 
+def dsir_resample(
+    docs: DataFrame,
+    target: DataFrame,
+    keep_fraction: float = 0.5,
+    n_buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR's SELECTION step (Xie et al. 2023 §3: importance
+    resampling): keep each raw document with probability proportional
+    to its importance weight — here the deterministic distributed
+    form, Poisson/Bernoulli sampling with ``p_i = min(1,
+    keep_fraction · w_i)`` against a per-doc uniform draw ``u_i``
+    derived from a salted id hash (md5/2⁶⁰). No RNG, no global
+    aggregate: retry- and engine-reproducible row by row, and the
+    expected keep rate tracks ``keep_fraction`` because the weight
+    mean sits near 1 by construction (smoothed probability ratios).
+
+    Deliberately NOT normalized by Σw: a corpus-wide double sum folds
+    in partition order, which would make the threshold
+    nondeterministic across runs and engines. The unnormalized form
+    keeps every arithmetic step per-row IEEE-exact (multiply +
+    compare of bit-identical doubles).
+
+    Docs with no scorable features (NULL weight) are out-of-domain by
+    definition and dropped. Returns ``(id_col, n_feats, dsir_score,
+    keep)``.
+    """
+    from loggie_spark.functions.hashing import md5_60bit
+
+    w = dsir_weights(docs, target, n_buckets, text_col, id_col)
+    u = md5_60bit(
+        F.concat(F.lit("dsir:"), F.col(id_col).cast("string"))
+    ) / F.lit(float(1 << 60))
+    p = F.least(F.lit(1.0), F.lit(float(keep_fraction)) * F.col("dsir_score"))
+    return w.select(
+        id_col,
+        "n_feats",
+        "dsir_score",
+        F.when(F.col("dsir_score").isNull(), F.lit(False))
+        .otherwise(u < p)
+        .alias("keep"),
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     min_docs: int = 2,

@@ -2344,6 +2344,57 @@ def td_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+_TARGET_SRCS = "('src0', 'src1', 'src2', 'src3')"
+
+
+@register(
+    "td_target_lm_score",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest([w[i] for i in generate_series(1, len(w)-1)]) AS w1,
+             unnest([w[i+1] for i in generate_series(1, len(w)-1)]) AS w2
+      FROM w WHERE len(w) >= 2
+    ),
+    mw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+           WHERE source IN {_TARGET_SRCS}),
+    mbg AS (
+      SELECT unnest([w[i] for i in generate_series(1, len(w)-1)]) AS w1,
+             unnest([w[i+1] for i in generate_series(1, len(w)-1)]) AS w2
+      FROM mw WHERE len(w) >= 2
+    ),
+    c12 AS (SELECT w1, w2, count(*) AS c12 FROM mbg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS c1 FROM mbg GROUP BY w1),
+    model AS (
+      SELECT w1, w2, CAST(c12 AS DOUBLE)/c1 AS p
+      FROM c12 JOIN c1 USING (w1) WHERE c12 >= 2
+    ),
+    scored AS (
+      SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+             round(list_reduce(list_sort(list(p)), (a,b) -> a+b)
+                   / count(*), 4) AS lm_score
+      FROM bg JOIN model USING (w1, w2) GROUP BY doc_id
+    )
+    SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.lm_score
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def td_target_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's ACTUAL LM recipe (vs td_bigram_lm's self-trained form):
+    the bigram model trains on a trusted target-domain slice (4 of the
+    20 sources stand in for Wikipedia) with the min_count=2 vocab
+    floor — exercising the floored bounded-broadcast path — and the
+    WHOLE corpus scores against it; crawl docs whose bigrams never
+    appear in the target domain score NULL, the out-of-domain signal
+    CCNet buckets on."""
+    from loggie_spark.operators.corpusstats import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    model = docs.filter(F.col("source").isin("src0", "src1", "src2", "src3"))
+    return bigram_lm_scores(docs, min_count=2, model_docs=model)
+
+
 # ===========================================================================
 # td_token_window_dedup — span dedup in the TOKEN domain (no decode)
 # ===========================================================================
@@ -3385,10 +3436,8 @@ def pl_parse_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register(
-    "td_dsir_weights",
-    oracle=f"""
-    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+_DSIR_CTES = f"""
+    w AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
     bg AS (
       SELECT doc_id,
              unnest([w[i] || ' ' || w[i+1]
@@ -3413,7 +3462,13 @@ def pl_parse_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_reduce(list_sort(list(r)), (a, x) -> a + x) / count(*)
                AS VARCHAR) AS DECIMAL(30,17)), 4) AS dsir_score
       FROM pairs JOIN model USING (b) GROUP BY doc_id
-    )
+    )"""
+
+
+@register(
+    "td_dsir_weights",
+    oracle=f"""
+    WITH {_DSIR_CTES}
     SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats, s.dsir_score
     FROM documents d LEFT JOIN scored s USING (doc_id)
     """,
@@ -3430,6 +3485,31 @@ def td_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return dsir_weights(docs, docs.filter(F.col("doc_id") % 97 == 0))
+
+
+@register(
+    "td_dsir_resample",
+    oracle=f"""
+    WITH {_DSIR_CTES}
+    SELECT d.doc_id, coalesce(s.n_feats, 0) AS n_feats, s.dsir_score,
+           CASE WHEN s.dsir_score IS NULL THEN FALSE ELSE
+             ({md5_60bit_sql("'dsir:' || CAST(d.doc_id AS VARCHAR)")}
+              / 1152921504606846976.0) < least(1.0, 0.5 * s.dsir_score)
+           END AS keep
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def td_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's importance-RESAMPLING selection step
+    (operators/curation.py:dsir_resample): Bernoulli keep with
+    p = min(1, 0.5·w) against a salted-md5 uniform draw — no RNG, no
+    corpus-order-dependent normalizing sum; every row's verdict is an
+    IEEE-exact multiply + compare both engines reproduce bit-for-bit
+    (2⁶⁰ is a power of two, so the u-draw division is exact)."""
+    from loggie_spark.operators.curation import dsir_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_resample(docs, docs.filter(F.col("doc_id") % 97 == 0))
 
 
 # ===========================================================================
@@ -4374,17 +4454,18 @@ _DRIVER_PRIORITY: list[str] = [
     "td_langid",
     "td_quality_score",
     "td_token_counts",
-    "td_fingerprint",
+    # td_fingerprint joins pl_addmeta/pl_normalize_chain in the
+    # sit-out set (registry 103 > 2×cap): untouched narrow pass,
+    # r03-green, sf0.01 parity-checked every pytest run.
     "pl_k8s_extract_enrich",
     "pl_schema_interceptor",
     "pl_k8s_route",
     "pl_filesink_hash",
-    # pl_addmeta: registry (101) now exceeds 2×cap (100), so one
-    # r03-green query must sit a third round. pl_addmeta is the safest:
-    # untouched since r1, r03 driver-green, trivial enrichment fully
-    # covered by unit + sf0.01 oracle parity every pytest run. It takes
-    # front position in the r06 window.
-    "pl_normalize_chain",
+    # pl_addmeta + pl_normalize_chain: registry (102) now exceeds 2×cap
+    # (100), so two r03-green queries must sit a third round. These two
+    # are the safest: untouched since r1, r03 driver-green, fully
+    # covered by unit tests + the sf0.01 oracle parity every pytest run
+    # (the driver's own SF). They take front position in the r06 window.
     "pl_convert_keep",
     "td_multimodal_featurize",
     "td_frame_sample",
@@ -4419,6 +4500,8 @@ _DRIVER_PRIORITY: list[str] = [
     "td_source_overlap",
     "td_tokenizer_fertility",
     "td_semdedup",
+    "td_target_lm_score",
+    "td_dsir_resample",
     # -- (d) flagship anchors: none this round — (a)+(c) fill all 50
     # slots exactly (37 + 13); the flagship family was driver-checked
     # in r04, so it is 1 round stale and rotates back in r06.
