@@ -1972,3 +1972,90 @@ def test_tokenizer_fertility_per_source(spark):
     ns = sum(len(_encode_word(w, mlist)) for w in words)
     assert got["s1"] == (2, 4, ns, round(ns / 4, 4))
     assert got["s2"] == (2, 0, 0, 0.0)
+
+
+def test_semdedup_one_survivor_per_group(spark):
+    """Within a near-identical group exactly one member survives — the
+    LEAST centroid-similar (ties by id); singletons pass; keeps ==
+    distinct clusters; deterministic across runs."""
+    from loggie_spark.operators.dedup import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.02, 0.0, 0.0]),
+        (3, [0.98, 0.05, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),  # other direction: singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, n_cells=2, threshold=0.95, iters=1).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == 4
+    # 1-2-3 are one transitive group (all pairwise cos > 0.99)
+    assert by_id[1].cluster_id == by_id[2].cluster_id == by_id[3].cluster_id == 1
+    group = [by_id[i] for i in (1, 2, 3)]
+    keepers = [r for r in group if r.keep]
+    assert len(keepers) == 1
+    assert keepers[0].cos == min(r.cos for r in group)
+    assert by_id[4].keep and by_id[4].cluster_id == 4
+    n_clusters = len({r.cluster_id for r in out})
+    assert sum(1 for r in out if r.keep) == n_clusters
+    again = semdedup(emb, n_cells=2, threshold=0.95, iters=1).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_dsir_resample_deterministic_hash_bernoulli(spark):
+    """keep == (md5_u < min(1, kf*w)) recomputed in Python from the
+    returned scores; featureless docs always drop; runs are identical."""
+    import hashlib
+
+    from loggie_spark.operators.curation import dsir_resample
+
+    docs = spark.createDataFrame(
+        [
+            (i, "the quick brown fox jumps over the lazy dog " * (1 + i % 3))
+            for i in range(30)
+        ]
+        + [(97, "the quick target fox " * 4), (98, ""), (99, "solo")],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    out = dsir_resample(docs, target, keep_fraction=0.5).collect()
+    assert len(out) == 33
+    for r in out:
+        if r.dsir_score is None:
+            assert not r.keep  # "" and single-word docs have no bigrams
+            continue
+        h = int(
+            hashlib.md5(f"dsir:{r.doc_id}".encode()).hexdigest()[:15], 16
+        )
+        u = h / float(1 << 60)
+        assert r.keep == (u < min(1.0, 0.5 * r.dsir_score))
+    again = dsir_resample(docs, target, keep_fraction=0.5).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_bigram_lm_target_domain_model(spark):
+    """model_docs trains the LM on a slice: bigrams absent from the
+    target slice contribute nothing, purely-OOV docs score NULL, and
+    an in-domain doc reproduces the hand-computed MLE mean."""
+    from loggie_spark.operators.corpusstats import bigram_lm_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),    # in-domain (model doc)
+            (2, "a b c"),      # bigram (a,b) in model; (b,c) OOV
+            (3, "x y z"),      # fully OOV -> NULL score
+        ],
+        "doc_id long, text string",
+    )
+    model_docs = docs.filter(F.col("doc_id") == 1)
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in bigram_lm_scores(docs, model_docs=model_docs).collect()
+    }
+    # model from doc 1: c(a,b)=2, c(b,a)=1, c(a.)=2, c(b.)=1
+    # doc1 bigrams: ab,ba,ab -> p: 1.0, 1.0, 1.0 -> mean 1.0
+    assert got[1] == (3, 1.0)
+    # doc2: only (a,b) survives -> p=1.0, n=1
+    assert got[2] == (1, 1.0)
+    assert got[3] == (0, None)
