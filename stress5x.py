@@ -97,8 +97,33 @@ def build_5x(spark) -> str:
         os.path.join(OUT_DIR, "events.parquet")
     )
 
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    n_emb = emb.count()
+    parts = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * n_emb))
+        # distinct-vector perturbation: deterministic per-copy jitter so
+        # semantic dedup sees new vectors, not 5 collapsible clones
+        .withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                + F.lit(c * 1e-3) * ((i * 2654435761 % 97).cast("double") / 97.0),
+            )
+            if c > 0
+            else F.col("embedding"),
+        )
+        for c in range(COPIES)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(CPUS).write.mode("overwrite").parquet(
+        os.path.join(OUT_DIR, "embeddings.parquet")
+    )
+
     for t in TABLES:
-        if t in ("documents", "events"):
+        if t in ("documents", "events", "embeddings"):
             continue
         dst = os.path.join(OUT_DIR, f"{t}.parquet")
         src = os.path.join(SF_DIR, f"{t}.parquet")
