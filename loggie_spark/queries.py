@@ -2310,6 +2310,96 @@ def td_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_stats(_t(spark, sf_dir, "documents"), top_k=_VOCAB_K)
 
 
+_QUALITY_SQL = """
+    CAST(round(CAST(CAST(
+      0.4 * least(CAST(len(words) AS DOUBLE) / 100.0, 1.0)
+        + 0.3 * (CASE WHEN len(words) > 0
+                 THEN CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                 ELSE 0.0 END)
+        + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+                 THEN CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                      / length(text) ELSE 0.0 END))
+      AS VARCHAR) AS DECIMAL(30,17)), 4) AS DOUBLE)
+"""
+
+_CURVE_GRID = "[0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]"
+
+
+@register(
+    "td_quality_curve",
+    oracle=f"""
+    WITH s AS (
+      SELECT {_QUALITY_SQL} AS q, CAST(len(words) AS BIGINT) AS n
+      FROM (SELECT text, {_WORDS_SQL} AS words FROM documents)
+    ),
+    tot AS (SELECT count(*) AS nd, sum(n) AS nt FROM s),
+    grid AS (SELECT unnest(CAST({_CURVE_GRID} AS DOUBLE[])) AS threshold),
+    agg AS (
+      SELECT g.threshold,
+             CAST(count(*) FILTER (WHERE s.q >= g.threshold) AS BIGINT)
+               AS docs_kept,
+             CAST(coalesce(sum(s.n) FILTER (WHERE s.q >= g.threshold), 0)
+               AS BIGINT) AS tokens_kept
+      FROM grid g CROSS JOIN s GROUP BY g.threshold
+    )
+    SELECT threshold, docs_kept, tokens_kept,
+           CAST(round(CAST(CAST(CAST(docs_kept AS DOUBLE) / nd AS VARCHAR)
+                AS DECIMAL(30,17)), 4) AS DOUBLE) AS frac_docs,
+           CAST(round(CAST(CAST(CAST(tokens_kept AS DOUBLE) / nt AS VARCHAR)
+                AS DECIMAL(30,17)), 4) AS DOUBLE) AS frac_tokens
+    FROM agg, tot
+    """,
+)
+def td_quality_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff planning curve
+    (operators/corpusstats.py:quality_threshold_curve): docs/tokens
+    surviving each candidate threshold, from ONE narrow pass + ONE
+    aggregation whose state is |grid|·2 conditional sums — the table a
+    data team reads before freezing a filter cutoff."""
+    from loggie_spark.operators.corpusstats import quality_threshold_curve
+
+    return quality_threshold_curve(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "td_source_drift",
+    oracle=f"""
+    WITH wx AS (SELECT source, unnest({_WORDS_SQL}) AS word FROM documents),
+    cnt AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c
+            FROM wx GROUP BY source, word),
+    vocab AS (SELECT word, CAST(sum(c) AS BIGINT) AS tf FROM cnt
+              GROUP BY word ORDER BY tf DESC, word LIMIT 100),
+    nv AS (SELECT sum(tf) AS nv FROM vocab),
+    pw AS (SELECT word, CAST(tf AS DOUBLE) / nv AS p FROM vocab, nv),
+    ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens_v
+           FROM cnt JOIN vocab USING (word) GROUP BY source),
+    terms AS (
+      SELECT g.source, g.n_tokens_v, g.word,
+             ((CAST(coalesce(c.c, 0) AS DOUBLE) / g.n_tokens_v - g.p)
+              * (CAST(coalesce(c.c, 0) AS DOUBLE) / g.n_tokens_v - g.p)
+              / g.p) AS term
+      FROM (SELECT ns.source, ns.n_tokens_v, pw.word, pw.p
+            FROM ns CROSS JOIN pw) g
+      LEFT JOIN cnt c ON c.source = g.source AND c.word = g.word
+    )
+    SELECT source, n_tokens_v,
+           CAST(round(CAST(CAST(
+             list_reduce(list(term ORDER BY word), (a, b) -> a + b)
+             AS VARCHAR) AS DECIMAL(30,17)), 4) AS DOUBLE) AS chi2
+    FROM terms GROUP BY source, n_tokens_v
+    """,
+)
+def td_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source chi² token-distribution drift vs the corpus over the
+    top-100 vocab (operators/corpusstats.py:source_token_drift) — the
+    wrong-language/spam/template-storm monitor. Chi-squared instead of
+    KL so no logarithm enters: every term and the word-ordered fold
+    are IEEE-exact in both engines."""
+    from loggie_spark.operators.corpusstats import source_token_drift
+
+    return source_token_drift(_t(spark, sf_dir, "documents"), top_v=100)
+
+
 @register(
     "td_bigram_lm",
     oracle=f"""
@@ -4443,8 +4533,9 @@ _DRIVER_PRIORITY: list[str] = [
     "td_dedup_ngram_jaccard",
     "td_dup_clusters",
     "td_decontaminate",
-    "td_boilerplate",
-    "td_repetition",
+    # td_boilerplate + td_repetition join the sit-out set (registry 105
+    # > 2×cap): untouched narrow text passes, r03-green, sf0.01
+    # parity-checked every pytest run.
     "td_pii_redact",
     "td_embed_dup_pairs",
     "td_embed_dup_lsh",
@@ -4502,6 +4593,8 @@ _DRIVER_PRIORITY: list[str] = [
     "td_semdedup",
     "td_target_lm_score",
     "td_dsir_resample",
+    "td_quality_curve",
+    "td_source_drift",
     # -- (d) flagship anchors: none this round — (a)+(c) fill all 50
     # slots exactly (37 + 13); the flagship family was driver-checked
     # in r04, so it is 1 round stale and rotates back in r06.
