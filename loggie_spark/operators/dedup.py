@@ -574,6 +574,57 @@ def embedding_lsh_pairs(
     )
 
 
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 12,
+    w: int = 8,
+    min_shared: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Copy-detection candidate pairs via winnowing fingerprints
+    (textstats.winnow_fingerprints — the MOSS sampler): documents
+    sharing ≥ ``min_shared`` winnowed min-hashes are near-copy
+    candidates. Winnowing guarantees any shared substring of length
+    ≥ k+w-1 contributes a shared fingerprint, so unlike minhash (whole-
+    doc similarity) this catches a long verbatim passage pasted into an
+    otherwise different document — the plagiarism/licensing shape of
+    dedup.
+
+    100 TB shape: fingerprints compute in-row; only (id, fp) scalars
+    shuffle; the fp equi-self-join is bucketed by fingerprint value
+    with the same ``bucket_cap`` salting guard as the LSH families
+    (a boilerplate fingerprint present in millions of docs would
+    otherwise enumerate O(hottest²) pairs); the explicit keyed
+    repartition keeps AQE from serializing the enumeration of a
+    byte-tiny but expansion-heavy frame.
+
+    Returns ``(id_a, id_b, n_shared)``, id_a < id_b.
+    """
+    from loggie_spark.operators.textstats import winnow_fingerprints
+
+    base = _materialize(
+        spread_small_input(docs).select(
+            F.col(id_col).alias("_id"), F.col(text_col).alias("_t")
+        ),
+        {"_fps": winnow_fingerprints(F.col("_t"), k=k, w=w)},
+    )
+    fp = base.select("_id", F.explode("_fps").alias("fp"))
+    fp, keys = _cap_buckets(fp, ["fp"], bucket_cap)
+    fp = fp.repartition(docs.sparkSession.sparkContext.defaultParallelism, *keys)
+    l, r = fp.alias("l"), fp.alias("r")
+    cond = F.col("l._id") < F.col("r._id")
+    for kcol in keys:
+        cond = (F.col(f"l.{kcol}") == F.col(f"r.{kcol}")) & cond
+    return (
+        l.join(r, cond)
+        .groupBy(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def semdedup(
     corpus: DataFrame,
     n_cells: int = 8,

@@ -86,6 +86,45 @@ def fingerprint_md5(text: Column) -> Column:
     return md5_60bit(text)
 
 
+def winnow_fingerprints(text: Column, k: int = 12, w: int = 8) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every ``k``-char gram, slide a window of
+    ``w`` consecutive hashes, keep each window's minimum — a position-
+    robust sample of the document guaranteed to share a fingerprint
+    with any copy of a sufficiently long substring (length ≥ k+w-1).
+    The distinct min-hash set is the fingerprint.
+
+    All in-row (O(n·w) integer ops, no shuffle); the k-gram hash array
+    binds once per row as a lambda variable (let_bind) so the window
+    walk references a variable, not a re-inlined n-gram hash chain.
+    Engine-agnostic md5 hashes — the DuckDB oracle replays exactly.
+
+    Shorter-than-window docs keep the single global min; empty docs an
+    empty set.
+    """
+    from loggie_spark.functions.gofmt import let_bind
+
+    n = F.length(text)
+    grams = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    hashes = F.when(
+        n >= k, F.transform(grams, lambda i: md5_60bit(text.substr(i, F.lit(k))))
+    ).otherwise(F.array().cast("array<long>"))
+
+    def windows(h: Column) -> Column:
+        nh = F.size(h)
+        wins = F.transform(
+            F.sequence(F.lit(1), F.greatest(nh - w + 1, F.lit(1))),
+            lambda j: F.array_min(F.slice(h, j, w)),
+        )
+        return F.array_distinct(
+            F.when(nh == 0, F.array().cast("array<long>"))
+            .when(nh < w, F.array(F.array_min(h)))
+            .otherwise(wins)
+        )
+
+    return let_bind(hashes, windows)
+
+
 def fingerprint_rolling(text: Column, mod: int = 2_147_483_647) -> Column:
     """Polynomial rolling hash over word hashes (Horner, exact integer
     arithmetic): acc = (acc·31 + h(w) mod M) mod M. Order-sensitive —

@@ -3119,6 +3119,42 @@ def _semdedup_oracle(n_cells=8, threshold=0.4, dim=64) -> str:
     """
 
 
+@register(
+    "td_winnow_pairs",
+    oracle=f"""
+    WITH H AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= 12 THEN
+               [{md5_60bit_sql("substring(text, i, 12)")}
+                for i in generate_series(1, length(text) - 11)]
+             ELSE [] END AS h
+      FROM documents
+    ),
+    fp AS (
+      SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(h) = 0 THEN []
+             WHEN len(h) < 8 THEN [list_min(h)]
+             ELSE [list_min(h[j:j+7]) for j in generate_series(1, len(h) - 7)]
+        END)) AS f
+      FROM H
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5
+    """,
+)
+def td_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) copy-detection pairs
+    (operators/dedup.py:winnow_pairs): k=12-char-gram md5 hashes,
+    window w=8 minima, docs sharing ≥5 winnowed fingerprints. Catches
+    a long verbatim passage inside an otherwise-different document —
+    the axis minhash/simhash (whole-doc similarity) miss."""
+    from loggie_spark.operators.dedup import winnow_pairs
+
+    return winnow_pairs(_t(spark, sf_dir, "documents"))
+
+
 @register("td_semdedup", oracle=_semdedup_oracle())
 def td_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (operators/dedup.py:semdedup): k-means cells scope the
@@ -4530,7 +4566,8 @@ _DRIVER_PRIORITY: list[str] = [
     "td_dedup_exact",
     "td_dedup_minhash_lsh",
     "td_dedup_simhash",
-    "td_dedup_ngram_jaccard",
+    # td_dedup_ngram_jaccard joins the sit-out set (registry 106 >
+    # 2×cap): untouched since r2, r03-green, parity-checked every run.
     "td_dup_clusters",
     "td_decontaminate",
     # td_boilerplate + td_repetition join the sit-out set (registry 105
@@ -4595,6 +4632,7 @@ _DRIVER_PRIORITY: list[str] = [
     "td_dsir_resample",
     "td_quality_curve",
     "td_source_drift",
+    "td_winnow_pairs",
     # -- (d) flagship anchors: none this round — (a)+(c) fill all 50
     # slots exactly (37 + 13); the flagship family was driver-checked
     # in r04, so it is 1 round stale and rotates back in r06.
