@@ -219,3 +219,88 @@ def cms_heavy_hitters(
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .filter(F.col("cnt") >= F.lit(int(min_count)))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch (register table form)
+# ---------------------------------------------------------------------------
+
+
+def hll_build(
+    items: DataFrame,
+    item_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """HyperLogLog register table over one row per item occurrence
+    (Flajolet et al. 2007): the 60-bit md5 hash splits into a ``p``-bit
+    register index (top bits) and a (60-p)-bit tail whose
+    leading-zero-run length+1 is the rank ρ; each register keeps its
+    max ρ. State is ≤ 2^p rows of (idx, rho) scalars regardless of
+    corpus size — the distinct-count member of the sketch family
+    (count-min: frequencies; Bloom: membership).
+
+    Table form makes every operation a DataFrame op: build is one
+    map-side-combined max-groupBy (the partial aggregation IS the
+    per-task sketch), merge is ``unionByName + groupBy max``, estimate
+    rides a broadcast. The rank computes EXACTLY (no log): the tail's
+    bit length is ``length(conv(tail, 10, 2))``, an integer both
+    engines agree on; DuckDB's oracle uses ``bin()`` the same way.
+
+    Spark's own ``approx_count_distinct`` is the right call inside a
+    single query; this table form exists for what it cannot do — merge
+    sketches ACROSS jobs/days/streams that never co-execute, persist
+    them as plain parquet, and replay them in any engine.
+    """
+    tail_bits = 60 - p
+    h = md5_60bit(F.col(item_col))
+    idx = F.floor(h / F.lit(1 << tail_bits)).cast("int")
+    tail = F.pmod(h, F.lit(1 << tail_bits))
+    nbits = F.length(F.conv(tail, 10, 2))
+    rho = F.when(tail == 0, F.lit(tail_bits + 1)).otherwise(
+        F.lit(tail_bits) - nbits + 1
+    ).cast("int")
+    return (
+        items.select(idx.alias("idx"), rho.alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two register tables — max per register. Associative,
+    commutative, idempotent (re-merging a shard is harmless)."""
+    return a.unionByName(b).groupBy("idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 12) -> DataFrame:
+    """Raw HLL estimate ``E = α_m · m² / Σ_j 2^(−ρ_j)`` (empty
+    registers contribute 2⁰ = 1 each). Deliberately the RAW estimator:
+    the small-range LinearCounting correction needs a logarithm, whose
+    last-ulp varies across libm implementations — raw keeps every step
+    (1/2^ρ dyadic divisions, an idx-ordered sequential fold, one
+    rational α_m) bit-reproducible in any engine, at the documented
+    cost of bias below ~2.5·m distinct. Returns one row
+    ``(m, n_filled, estimate)`` with the estimate rounded to 2.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_filled"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("idx", "rho"))),
+            F.lit(0.0),
+            # call_function: the F.shiftleft wrapper only takes an int
+            # shift, but the SQL function accepts a column — the shift
+            # keeps 1/2^rho an exact dyadic (pow() would round through
+            # libm).
+            lambda acc, s: acc
+            + 1.0
+            / F.call_function("shiftleft", F.lit(1).cast("long"), s["rho"]),
+        ).alias("_s_filled"),
+    )
+    total = F.col("_s_filled") + (F.lit(m) - F.col("n_filled")).cast("double")
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        "n_filled",
+        F.round(F.lit(alpha) * F.lit(float(m * m)) / total, 2).alias("estimate"),
+    )

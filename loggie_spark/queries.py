@@ -4074,6 +4074,56 @@ def td_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality_flags(_t(spark, sf_dir, "documents"), min_words=20)
 
 
+# p=5 (m=32) keeps BOTH test SFs (≈150 / ≈1.5k distinct users) inside
+# the raw estimator's n ≳ 2.5·m regime — the operator default (p=12)
+# targets production cardinalities; see hll_estimate's docstring for
+# why the small-range LinearCounting correction is deliberately absent.
+_HLL_P = 5
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / (1 << _HLL_P))
+
+
+@register(
+    "th_hll_users",
+    oracle=f"""
+    WITH h AS (
+      SELECT {md5_60bit_sql("CAST(user_id AS VARCHAR)")} AS h FROM events
+    ),
+    reg AS (
+      SELECT CAST(floor(h / {1 << (60 - _HLL_P)}) AS INT) AS idx,
+             max(CASE WHEN h % {1 << (60 - _HLL_P)} = 0 THEN {60 - _HLL_P + 1}
+                 ELSE {60 - _HLL_P} - length(bin(h % {1 << (60 - _HLL_P)})) + 1
+                 END) AS rho
+      FROM h GROUP BY idx
+    )
+    SELECT CAST({1 << _HLL_P} AS BIGINT) AS m,
+           CAST(count(*) AS BIGINT) AS n_filled,
+           CAST(round(CAST(CAST(
+             CAST({_HLL_ALPHA!r} AS DOUBLE) * {float((1 << _HLL_P) ** 2)} /
+             (list_reduce(
+                list(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)
+                     ORDER BY idx),
+                (a, b) -> a + b)
+              + ({1 << _HLL_P} - count(*)))
+             AS VARCHAR) AS DECIMAL(30,17)), 2) AS DOUBLE) AS estimate
+    FROM reg
+    """,
+)
+def th_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate, certified MERGEABLE: the
+    sketch builds as two independent shard sketches (error vs
+    non-error events — shards that at scale would be different days or
+    streams) merged by register max, and the oracle builds ONE global
+    sketch — equality proves merge ≡ global, the property that lets
+    per-day parquet sketches answer cross-period cardinality without
+    rescanning (operators/sketches.py:hll_build/merge/estimate)."""
+    from loggie_spark.operators.sketches import hll_build, hll_estimate, hll_merge
+
+    ev = _t(spark, sf_dir, "events")
+    a = hll_build(ev.filter(F.col("event_type") == "error"), "user_id", p=_HLL_P)
+    b = hll_build(ev.filter(F.col("event_type") != "error"), "user_id", p=_HLL_P)
+    return hll_estimate(hll_merge(a, b), p=_HLL_P)
+
+
 @register(
     "th_cms_hitters",
     oracle="""
@@ -4563,7 +4613,8 @@ _DRIVER_PRIORITY: list[str] = [
     "th_q1_pricing",
     "th_q3_revenue",
     "th_q5_region_revenue",
-    "td_dedup_exact",
+    # td_dedup_exact joins the sit-out set (registry 107 > 2×cap):
+    # untouched digest groupBy, r03-green, parity-checked every run.
     "td_dedup_minhash_lsh",
     "td_dedup_simhash",
     # td_dedup_ngram_jaccard joins the sit-out set (registry 106 >
@@ -4633,6 +4684,7 @@ _DRIVER_PRIORITY: list[str] = [
     "td_quality_curve",
     "td_source_drift",
     "td_winnow_pairs",
+    "th_hll_users",
     # -- (d) flagship anchors: none this round — (a)+(c) fill all 50
     # slots exactly (37 + 13); the flagship family was driver-checked
     # in r04, so it is 1 round stale and rotates back in r06.

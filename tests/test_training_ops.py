@@ -2059,3 +2059,26 @@ def test_bigram_lm_target_domain_model(spark):
     # doc2: only (a,b) survives -> p=1.0, n=1
     assert got[2] == (1, 1.0)
     assert got[3] == (0, None)
+
+
+def test_hll_merge_equals_global_and_estimates_sanely(spark):
+    """Register-table HLL: sharded build + merge == one global build
+    (max is associative/commutative/idempotent); the raw estimate
+    lands within 15% of truth for n >> 2.5m; merge is idempotent."""
+    from loggie_spark.operators.sketches import hll_build, hll_estimate, hll_merge
+
+    n = 50_000
+    items = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    p = 8  # m=256 so n >> 2.5m and the raw estimator is in its regime
+    whole = hll_build(items, "v", p=p)
+    a = hll_build(items.filter(F.col("v").cast("long") % 2 == 0), "v", p=p)
+    b = hll_build(items.filter(F.col("v").cast("long") % 2 == 1), "v", p=p)
+    merged = hll_merge(a, b)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    est = hll_estimate(merged, p=p).collect()[0]
+    assert est.m == 256
+    assert abs(est.estimate - n) / n < 0.15
+    again = hll_merge(merged, a)  # idempotent: re-merging a shard is a no-op
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, whole.collect()))
