@@ -14,7 +14,13 @@ Stages (each one the operator the registry certifies, composed):
 2. exact dedup                    (sha2-digest groupBy, digest shuffle)
 3. near-dup clusters → survivors  (minhash-LSH bands → connected
                                    components → quality-aware keeper)
+3b. semantic dedup (optional)     (--embeddings: SemDeDup — kmeans
+                                   cells → within-cell cosine →
+                                   least-prototypical survivor)
 4. gates                          (quality ≥ q, repetition ≤ r)
+4b. DSIR resample (optional)      (--dsir-target: importance-weighted
+                                   deterministic Bernoulli selection
+                                   toward the target domain)
 5. greedy sequence packing        (no-straddle bins, scalar shuffle)
 6. shard export                   (manifest-last commit protocol;
                                    consumers verify before reading)
@@ -38,6 +44,18 @@ def main(argv: list[str] | None = None) -> dict:
     ap.add_argument("--max-repetition", type=float, default=0.3)
     ap.add_argument("--n-shards", type=int, default=64)
     ap.add_argument("--max-seq-len", type=int, default=2048)
+    ap.add_argument(
+        "--embeddings",
+        default=None,
+        help="embeddings table (vec_id = doc_id) enabling the SemDeDup stage",
+    )
+    ap.add_argument("--semdedup-threshold", type=float, default=0.95)
+    ap.add_argument(
+        "--dsir-target",
+        default=None,
+        help="target-domain documents table enabling the DSIR resample stage",
+    )
+    ap.add_argument("--dsir-keep-fraction", type=float, default=0.5)
     ap.add_argument("--master", default=None, help="override for local runs/tests")
     args = ap.parse_args(argv)
 
@@ -80,12 +98,41 @@ def main(argv: list[str] | None = None) -> dict:
     )
     report["after_near_dedup"] = scored.count()
 
+    # 3b. optional semantic dedup (SemDeDup): duplicate groups in
+    # embedding space keep one member each (the least prototypical)
+    if args.embeddings:
+        from loggie_spark.operators.dedup import semdedup
+
+        emb = spark.read.parquet(args.embeddings)
+        sem = semdedup(emb, threshold=args.semdedup_threshold)
+        # docs without an embedding row pass through (no evidence
+        # against them); docs whose group dropped them go
+        scored = scored.join(
+            sem.filter(~F.col("keep")).select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
+        report["after_semantic_dedup"] = scored.count()
+
     # 4. quality gates
     curated = scored.filter(
         (F.col("quality") >= args.min_quality)
         & (F.col("repetition") <= args.max_repetition)
     )
     report["after_quality_gates"] = curated.count()
+
+    # 4b. optional DSIR importance resample toward a target domain
+    if args.dsir_target:
+        from loggie_spark.operators.curation import dsir_resample
+
+        target = spark.read.parquet(args.dsir_target)
+        picked = dsir_resample(
+            curated, target, keep_fraction=args.dsir_keep_fraction
+        )
+        curated = curated.join(
+            picked.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+        report["after_dsir_resample"] = curated.count()
 
     # 5. pack into training sequences (token count = whitespace words here;
     #    swap in the real tokenizer's n_tok upstream when available)

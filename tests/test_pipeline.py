@@ -285,3 +285,31 @@ def test_run_curation_job_end_to_end(spark, tmp_path):
     verify_training_shards(spark, out)
     on_disk = json.load(open(os.path.join(out, "_curation_report.json")))
     assert on_disk == report
+
+    # optional stages: SemDeDup (embeddings keyed by doc_id) + DSIR
+    # resample toward a target slice — funnel stays monotone and the
+    # two new stage counts appear in order
+    out2 = str(tmp_path / "curated2")
+    report2 = run_curation.main(
+        [
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", out2,
+            "--n-shards", "4",
+            "--master", "local[4]",
+            "--embeddings", "/root/testdata/sf0.001/embeddings.parquet",
+            "--semdedup-threshold", "0.4",
+            "--dsir-target", "/root/testdata/sf0.001/documents.parquet",
+            "--dsir-keep-fraction", "0.5",
+        ]
+    )
+    assert (
+        report2["after_near_dedup"]
+        >= report2["after_semantic_dedup"]
+        >= report2["after_quality_gates"]
+        >= report2["after_dsir_resample"]
+        >= 1
+    )
+    assert report2["after_semantic_dedup"] < report2["after_near_dedup"]
+    assert report2["after_dsir_resample"] < report2["after_quality_gates"]
+    assert report2["exported_rows"] == report2["after_dsir_resample"]
+    verify_training_shards(spark, out2)
