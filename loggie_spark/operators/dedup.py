@@ -342,14 +342,42 @@ def simhash_pairs(
     15-bit slices (a pair within hamming ≤ bands-1 must share ≥1 exact
     band), bucket-join, verify hamming distance. ``bucket_cap`` bounds
     degenerate buckets (:func:`_cap_buckets`)."""
-    bits_per_band = SIMHASH_BITS // bands
     # Barrier: the 60-wide bit-vote fold must evaluate once per row,
     # not once per band entry per join side.
     fp = _materialize(
         spread_small_input(df).select(F.col(id_col).alias("_id"), F.col(text_col)),
         {"_fp": simhash(F.col(text_col))},
     ).select("_id", "_fp")
+    return fingerprint_hamming_pairs(
+        fp,
+        fp_col="_fp",
+        id_col="_id",
+        max_hamming=max_hamming,
+        bands=bands,
+        fp_bits=SIMHASH_BITS,
+        bucket_cap=bucket_cap,
+    )
 
+
+def fingerprint_hamming_pairs(
+    df: DataFrame,
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    fp_bits: int = SIMHASH_BITS,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Banded hamming self-join over ANY precomputed integer
+    fingerprint column (simhash text prints, image dHashes, …): a pair
+    within hamming ≤ bands-1 must share at least one exact band slice,
+    so the join is a banded EQUI-join; exact bit_count verifies.
+    ``bucket_cap`` bounds degenerate buckets (:func:`_cap_buckets`).
+
+    Returns ``(id_a, id_b, hamming)`` with id_a < id_b.
+    """
+    bits_per_band = fp_bits // bands
+    fp = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     band_entries = F.array(
         *[
             F.struct(

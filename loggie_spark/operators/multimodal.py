@@ -26,7 +26,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -509,3 +511,101 @@ def audio_segments(
                 )
 
     return df.mapInPandas(process, AUDIO_SEGMENT_SCHEMA)
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("dhash", LongType()),
+        StructField("real_decode", BooleanType()),
+    ]
+)
+
+_DHASH_ROWS, _DHASH_COLS = 6, 11  # 6 rows x 10 horizontal gradients = 60 bits
+
+
+def _dhash_ppm(payload: bytes) -> int | None:
+    """60-bit perceptual difference-hash of a binary PPM (P6) image —
+    ALL integer arithmetic (channel mean by //3, box-resample cell
+    means by //count, '>' gradient compare), so the hash is
+    bit-reproducible on any platform with no float rounding anywhere.
+    Returns None when the image is too small for the 6×11 grid or the
+    header is malformed (caller falls back)."""
+    import numpy as np
+
+    try:
+        pos = 2
+        tokens: list[int] = []
+        while len(tokens) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(payload[start:pos]))
+        pos += 1
+        w, h, _maxval = tokens
+        if w < _DHASH_COLS or h < _DHASH_ROWS:
+            return None
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        gray = px.reshape(h, w, 3).astype(np.int64).sum(axis=2) // 3
+    except (ValueError, IndexError):
+        return None
+    cells = np.empty((_DHASH_ROWS, _DHASH_COLS), dtype=np.int64)
+    row_chunks = np.array_split(np.arange(h), _DHASH_ROWS)
+    col_chunks = np.array_split(np.arange(w), _DHASH_COLS)
+    for r, rc in enumerate(row_chunks):
+        for c, cc in enumerate(col_chunks):
+            block = gray[np.ix_(rc, cc)]
+            cells[r, c] = int(block.sum()) // block.size
+    out = 0
+    for r in range(_DHASH_ROWS):
+        for c in range(_DHASH_COLS - 1):
+            if cells[r, c + 1] > cells[r, c]:
+                out |= 1 << (r * (_DHASH_COLS - 1) + c)
+    return out
+
+
+def image_dhash(df: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Perceptual image fingerprints for near-dup dedup (the LAION-
+    style image dedup step): PPM payloads get the REAL integer dHash
+    (``_dhash_ppm`` — robust to brightness/contrast shifts that
+    preserve gradient signs); other formats fall back to the
+    engine-agnostic 60-bit md5 of the payload bytes (exact-dup-only
+    semantics, SQL-reproducible), flagged by ``real_decode``.
+
+    Compose with :func:`dedup.fingerprint_hamming_pairs` for the
+    banded near-dup pair join — the same machinery text simhash uses.
+    Payloads never shuffle: this stage maps scan batches straight to
+    (media_id, dhash) scalars.
+    """
+    import hashlib
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                hashes: list[int] = []
+                real: list[bool] = []
+                for p in chunk["payload"]:
+                    b = bytes(p) if p is not None else b""
+                    d = _dhash_ppm(b) if b[:2] == b"P6" else None
+                    if d is None:
+                        hashes.append(int(hashlib.md5(b).hexdigest()[:15], 16))
+                        real.append(False)
+                    else:
+                        hashes.append(d)
+                        real.append(True)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "dhash": pd.Series(hashes, index=chunk.index, dtype="int64"),
+                        "real_decode": pd.Series(real, index=chunk.index),
+                    }
+                )
+
+    return df.mapInPandas(process, DHASH_SCHEMA)

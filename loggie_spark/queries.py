@@ -3120,6 +3120,46 @@ def _semdedup_oracle(n_cells=8, threshold=0.4, dim=64) -> str:
 
 
 @register(
+    "td_image_dup_pairs",
+    oracle="""
+    WITH hsh AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             CAST('0x' || substring(md5('img-' || CAST(doc_id % 50 AS VARCHAR)),
+                  1, 15) AS BIGINT) AS dh
+      FROM documents
+    )
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+    FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.dh, b.dh)) <= 3
+    """,
+)
+def td_image_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs: perceptual dHash (multimodal.image_dhash)
+    into the SAME banded hamming join text simhash uses
+    (dedup.fingerprint_hamming_pairs). These synthetic payloads are
+    non-PPM so they take the md5 fallback hash — SQL-replicable, and
+    grouped (doc_id % 50) so exact-dup groups yield hamming-0 pairs;
+    the oracle verifies against ALL-pairs xor+bit_count, certifying
+    the banded search loses nothing at hamming ≤ bands-1. The REAL
+    integer-PPM dHash path (brightness-invariant collision, noise
+    separation) is pytest-certified in test_image_dhash_real_ppm."""
+    from loggie_spark.operators.dedup import fingerprint_hamming_pairs
+    from loggie_spark.operators.multimodal import image_dhash
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(
+            F.concat(F.lit("img-"), (F.col("doc_id") % 50).cast("string")), "utf-8"
+        ).alias("payload"),
+    )
+    return fingerprint_hamming_pairs(
+        image_dhash(media), fp_col="dhash", id_col="media_id", max_hamming=3
+    )
+
+
+@register(
     "td_winnow_pairs",
     oracle=f"""
     WITH H AS (
@@ -4620,7 +4660,8 @@ _DRIVER_PRIORITY: list[str] = [
     # td_dedup_ngram_jaccard joins the sit-out set (registry 106 >
     # 2×cap): untouched since r2, r03-green, parity-checked every run.
     "td_dup_clusters",
-    "td_decontaminate",
+    # td_decontaminate joins the sit-out set (registry 108 > 2×cap):
+    # untouched since r2, r03-green, parity-checked every run.
     # td_boilerplate + td_repetition join the sit-out set (registry 105
     # > 2×cap): untouched narrow text passes, r03-green, sf0.01
     # parity-checked every pytest run.
@@ -4685,6 +4726,7 @@ _DRIVER_PRIORITY: list[str] = [
     "td_source_drift",
     "td_winnow_pairs",
     "th_hll_users",
+    "td_image_dup_pairs",
     # -- (d) flagship anchors: none this round — (a)+(c) fill all 50
     # slots exactly (37 + 13); the flagship family was driver-checked
     # in r04, so it is 1 round stale and rotates back in r06.

@@ -2082,3 +2082,52 @@ def test_hll_merge_equals_global_and_estimates_sanely(spark):
     assert abs(est.estimate - n) / n < 0.15
     again = hll_merge(merged, a)  # idempotent: re-merging a shard is a no-op
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_image_dhash_real_ppm_and_pairs(spark):
+    """Real PPM dHash: a brightness-shifted copy (gradient signs
+    preserved) collides at hamming 0 with its original; a noise image
+    stays far; non-PPM payloads fall back to the md5 hash; the banded
+    pair join finds exactly the near-dup pair."""
+    import numpy as np
+
+    from loggie_spark.operators.dedup import fingerprint_hamming_pairs
+    from loggie_spark.operators.multimodal import _dhash_ppm, image_dhash
+
+    def ppm(arr):
+        h, w, _ = arr.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+    rng = np.random.RandomState(7)
+    # smooth horizontal ramp -> strong, stable gradients
+    base = np.repeat(
+        np.tile(np.linspace(10, 240, 33, dtype=np.uint8), (18, 1))[:, :, None],
+        3,
+        axis=2,
+    )
+    brighter = np.clip(base.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    noise = rng.randint(0, 256, size=base.shape).astype(np.uint8)
+
+    d_base = _dhash_ppm(ppm(base))
+    assert d_base == _dhash_ppm(ppm(brighter))  # brightness-invariant
+    d_noise = _dhash_ppm(ppm(noise))
+    assert bin(d_base ^ d_noise).count("1") > 10
+
+    media = spark.createDataFrame(
+        [
+            ("a", ppm(base)),
+            ("b", ppm(brighter)),
+            ("c", ppm(noise)),
+            ("d", b"not an image"),
+        ],
+        "media_id string, payload binary",
+    )
+    out = {r.media_id: r for r in image_dhash(media).collect()}
+    assert out["a"].real_decode and out["b"].real_decode and out["c"].real_decode
+    assert not out["d"].real_decode
+    assert out["a"].dhash == d_base
+
+    pairs = fingerprint_hamming_pairs(
+        image_dhash(media), fp_col="dhash", id_col="media_id", max_hamming=3
+    ).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [("a", "b", 0)]
