@@ -610,3 +610,35 @@ def gopher_quality_flags(
         & (F.col("stop_hits") >= min_stop_hits)
     )
     return out.withColumn("passes", passes)
+
+
+def html_to_text(html: Column) -> Column:
+    """Web-page → training-text extraction, the first step of every
+    CommonCrawl-style pipeline: drop <script>/<style> subtrees
+    wholesale (their content is code, not language), strip remaining
+    tags, decode the half-dozen entities that dominate real HTML, and
+    collapse whitespace runs. A chain of regexp_replace — whole-stage
+    codegen, zero Python, and the same RE2-compatible patterns run
+    verbatim in the DuckDB oracle ((?is) inline flags, no lookaround).
+
+    Deliberately NOT a full HTML5 parser (tag soup recovery,
+    conditional comments): the 100 TB path needs a predictable linear
+    pass; pages needing DOM-accurate extraction route to a boilerplate
+    model downstream (see gopher/ccnet gates).
+    """
+    # two patterns, not one with a </\1> backreference: RE2 (DuckDB)
+    # has no backreferences, and the oracle runs these verbatim
+    out = F.regexp_replace(html, r"(?is)<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"(?is)<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, r"(?s)<[^>]+>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ]:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -609,3 +609,88 @@ def image_dhash(df: DataFrame, batch_rows: int = 256) -> DataFrame:
                 )
 
     return df.mapInPandas(process, DHASH_SCHEMA)
+
+
+_AHASH_FRAMES = 61  # 60 energy gradients = 60 bits
+
+
+def _ahash_wav(payload: bytes) -> int | None:
+    """60-bit audio envelope hash of a RIFF/WAVE PCM16 payload — the
+    acoustic analog of the image dHash: mono-mix the samples, split
+    into 61 equal frames, take each frame's mean |amplitude| (ALL
+    integer arithmetic), and emit the energy-gradient sign bits.
+    Volume scaling preserves the comparisons, so a louder copy of the
+    same clip collides — exactly the near-dup an audio dedup wants.
+    Returns None for non-PCM16 / too-short / malformed payloads."""
+    import struct
+
+    import numpy as np
+
+    try:
+        sample_rate = n_channels = bits = None
+        data = b""
+        pos = 12
+        while pos + 8 <= len(payload):
+            cid, csize = struct.unpack_from("<4sI", payload, pos)
+            body = payload[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt ":
+                _f, n_channels, sample_rate, _bps, _al, bits = struct.unpack_from(
+                    "<HHIIHH", body, 0
+                )
+            elif cid == b"data":
+                data = body
+            pos += 8 + csize + (csize & 1)
+        if not sample_rate or not n_channels or bits != 16:
+            return None
+        x = np.frombuffer(
+            data, dtype="<i2", count=(len(data) // (2 * n_channels)) * n_channels
+        ).astype(np.int64)
+        mono = np.abs(x.reshape(-1, n_channels).sum(axis=1) // n_channels)
+        if mono.size < _AHASH_FRAMES:
+            return None
+    except (ValueError, struct.error):
+        return None
+    frames = np.array_split(mono, _AHASH_FRAMES)
+    energy = [int(f.sum()) // f.size for f in frames]
+    out = 0
+    for i in range(_AHASH_FRAMES - 1):
+        if energy[i + 1] > energy[i]:
+            out |= 1 << i
+    return out
+
+
+def audio_ahash(df: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Perceptual audio fingerprints for near-dup dedup: PCM16 WAV
+    payloads get the REAL integer envelope hash (``_ahash_wav`` —
+    volume-invariant); everything else falls back to the 60-bit md5 of
+    the payload bytes (exact-dup semantics, SQL-reproducible), flagged
+    by ``real_decode``. Same composition contract as
+    :func:`image_dhash`: feed the result to
+    ``dedup.fingerprint_hamming_pairs``. Payloads never shuffle.
+    """
+    import hashlib
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                hashes: list[int] = []
+                real: list[bool] = []
+                for p in chunk["payload"]:
+                    b = bytes(p) if p is not None else b""
+                    d = _ahash_wav(b) if b[:4] == b"RIFF" else None
+                    if d is None:
+                        hashes.append(int(hashlib.md5(b).hexdigest()[:15], 16))
+                        real.append(False)
+                    else:
+                        hashes.append(d)
+                        real.append(True)
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"],
+                        "dhash": pd.Series(hashes, index=chunk.index, dtype="int64"),
+                        "real_decode": pd.Series(real, index=chunk.index),
+                    }
+                )
+
+    return df.mapInPandas(process, DHASH_SCHEMA)

@@ -3119,6 +3119,54 @@ def _semdedup_oracle(n_cells=8, threshold=0.4, dim=64) -> str:
     """
 
 
+_HTML_WRAP_PRE = (
+    '<html><head><style>p{color:red}</style>'
+    '<script type="text/javascript">var x = 1 < 2;</script></head>'
+    '<body><!-- nav\nbar --><p class="lead">'
+)
+_HTML_WRAP_POST = (
+    '</p><div id="f">&amp;co &lt;raw&gt; &quot;q&#39;s&quot;&nbsp;end</div>'
+    "</body></html>"
+)
+
+
+@register(
+    "td_html_strip",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       '{_HTML_WRAP_PRE.replace("'", "''")}' || text ||
+                       '{_HTML_WRAP_POST.replace("'", "''")}',
+                       '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                   '(?s)<!--.*?-->', ' ', 'g'),
+                 '(?s)<[^>]+>', ' ', 'g'),
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''),
+             '\\s+', ' ', 'g')) AS clean
+    FROM documents
+    """,
+)
+def td_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text extraction (operators/curation.py:html_to_text — the
+    CommonCrawl first step): script/style subtrees dropped, tags
+    stripped, dominant entities decoded, whitespace collapsed — all
+    regexp_replace in codegen, RE2-compatible so the oracle runs the
+    IDENTICAL patterns. Input synthesizes a page around each doc's
+    text (head with script+style, comment, entity-laden footer)."""
+    from loggie_spark.operators.curation import html_to_text
+    from loggie_spark.operators.dedup import spread_small_input
+
+    docs = spread_small_input(_t(spark, sf_dir, "documents"))
+    page = F.concat(F.lit(_HTML_WRAP_PRE), F.col("text"), F.lit(_HTML_WRAP_POST))
+    return docs.select("doc_id", html_to_text(page).alias("clean"))
+
+
 @register(
     "td_image_dup_pairs",
     oracle="""
@@ -4671,7 +4719,8 @@ _DRIVER_PRIORITY: list[str] = [
     "td_sim_topk_brute",
     "td_sim_topk_lsh",
     "td_sim_topk_ivf",
-    "td_langid",
+    # td_langid joins the sit-out set (registry 109 > 2×cap):
+    # untouched narrow pass, r03-green, parity-checked every run.
     "td_quality_score",
     "td_token_counts",
     # td_fingerprint joins pl_addmeta/pl_normalize_chain in the
@@ -4727,6 +4776,7 @@ _DRIVER_PRIORITY: list[str] = [
     "td_winnow_pairs",
     "th_hll_users",
     "td_image_dup_pairs",
+    "td_html_strip",
     # -- (d) flagship anchors: none this round — (a)+(c) fill all 50
     # slots exactly (37 + 13); the flagship family was driver-checked
     # in r04, so it is 1 round stale and rotates back in r06.

@@ -2131,3 +2131,47 @@ def test_image_dhash_real_ppm_and_pairs(spark):
         image_dhash(media), fp_col="dhash", id_col="media_id", max_hamming=3
     ).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [("a", "b", 0)]
+
+
+def test_audio_ahash_volume_invariant_pairs(spark):
+    """Envelope hash: a half-volume copy of the same clip collides at
+    hamming 0; a different envelope diverges; non-WAV falls back."""
+    import struct
+
+    import numpy as np
+
+    from loggie_spark.operators.dedup import fingerprint_hamming_pairs
+    from loggie_spark.operators.multimodal import _ahash_wav, audio_ahash
+
+    def wav(samples):
+        data = np.asarray(samples, dtype="<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    rng = np.random.RandomState(3)
+    # asymmetric envelope (slow rise, fast fall) so the reversed clip
+    # has genuinely different frame-to-frame gradients
+    env = np.concatenate([np.linspace(100, 8000, 700), np.linspace(8000, 100, 100)])
+    carrier = rng.choice([-1, 1], size=800)
+    clip = (env * carrier).astype(np.int64)
+    quiet = clip // 2
+    other = clip[::-1]  # mirrored envelope -> opposite gradients
+
+    assert _ahash_wav(wav(clip)) == _ahash_wav(wav(quiet))
+    d = _ahash_wav(wav(clip)) ^ _ahash_wav(wav(other))
+    assert bin(d).count("1") > 10
+
+    media = spark.createDataFrame(
+        [("a", wav(clip)), ("b", wav(quiet)), ("c", wav(other)), ("d", b"mp3??")],
+        "media_id string, payload binary",
+    )
+    out = {r.media_id: r for r in audio_ahash(media).collect()}
+    assert out["a"].real_decode and not out["d"].real_decode
+    pairs = fingerprint_hamming_pairs(
+        audio_ahash(media), fp_col="dhash", id_col="media_id", max_hamming=3
+    ).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [("a", "b", 0)]
