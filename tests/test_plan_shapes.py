@@ -19,7 +19,16 @@ SF = "/root/testdata/sf0.001"
 # BNLJ is a map-side evaluation of the probe stream, the degenerate
 # safe case — Catalyst folds the constant join key away, so no
 # equi-join shape is reachable and none would be cheaper.
-BNLJ_ALLOWED = {"td_sim_topk_brute", "td_embed_dup_pairs", "td_bloom_decontaminate"}
+BNLJ_ALLOWED = {
+    "td_sim_topk_brute",
+    "td_embed_dup_pairs",
+    "td_bloom_decontaminate",
+    # source-drift's (source × top-V-vocab) grid: the broadcast side is
+    # ≤ top_v (100) scalar rows by TakeOrdered construction and the
+    # stream side is one row per source — bounded on both axes
+    # (operators/corpusstats.py:source_token_drift docstring).
+    "td_source_drift",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
