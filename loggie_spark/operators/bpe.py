@@ -169,15 +169,26 @@ def bpe_encode(
     is byte-identical to training's within-word merge semantics."""
     mlist = [(m["left"], m["right"], m["merged"]) for m in merges]
 
-    def enc(t):
-        toks = []
-        for w in (t or "").lower().split():
-            toks.extend(_encode_word(w, mlist))
-        return " ".join(toks)
+    def enc_batch(texts):
+        # per-batch word memoization (same trick as tokenizer_fertility):
+        # the Zipf word distribution means most words repeat within a
+        # batch, so each distinct word runs the greedy merge fold once
+        cache: dict = {}
 
-    # lambda (no annotations): annotated defs would need pd.Series
+        def enc(t):
+            toks = []
+            for w in (t or "").lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w, mlist)
+                toks.extend(got)
+            return " ".join(toks)
+
+        return texts.map(enc)
+
+    # lambda-style (no annotations): annotated defs would need pd.Series
     # hints, and stringified hints break pandas_udf inference
-    encode_series = pandas_udf(lambda texts: texts.map(enc), "string")
+    encode_series = pandas_udf(enc_batch, "string")
 
     out = spread_small_input(docs).select(
         F.col(id_col), encode_series(F.col(text_col)).alias("tokens")
