@@ -245,3 +245,70 @@ def read_countmin(spark, sketch_dir: str) -> DataFrame:
         .groupBy("seed", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def stream_source_drift(
+    stream: DataFrame,
+    reference: list[tuple[str, float]],
+    time_col: str = "event_time",
+    window: str = "10 seconds",
+    watermark: str = "30 seconds",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Windowed token-distribution drift monitor — the streaming face
+    of ``corpusstats.source_token_drift``: per (window, source), the
+    chi-squared distance between the window's token distribution and a
+    FROZEN reference distribution ``reference = [(word, p), ...]``
+    (normally the top-V corpus distribution exported by the batch
+    operator). The alerting signal for a source whose language shifts
+    mid-stream (spam influx, template storm) with bounded state.
+
+    Streaming shape: one watermarked windowed aggregation — each
+    reference word becomes a conditional-sum column (V ≤ ~100 cells of
+    state per group, no second aggregation, so append mode works), and
+    chi² assembles in a post-projection folding the V terms in word
+    order (deterministic, same fold the batch operator uses). Words
+    outside the reference vocab count toward nothing, exactly like the
+    batch top-V restriction.
+
+    Returns a streaming frame ``(window, group_col, n_tokens_v,
+    chi2)``; windows where a source emits no vocab tokens report NULL
+    chi2 (no distribution to compare).
+    """
+    from loggie_spark.operators.dedup import tokenize
+
+    ref = sorted(reference)  # fold in word order, like the batch op
+    words = stream.select(
+        F.col(time_col),
+        F.col(group_col),
+        F.explode(tokenize(F.col(text_col))).alias("_w"),
+    )
+    counts = [
+        F.sum(F.when(F.col("_w") == w, 1).otherwise(0))
+        .cast("long")
+        .alias(f"_c{i}")
+        for i, (w, _p) in enumerate(ref)
+    ]
+    agg = (
+        words.withWatermark(time_col, watermark)
+        .groupBy(F.window(F.col(time_col), window).alias("window"), group_col)
+        .agg(*counts)
+    )
+    n = None
+    for i in range(len(ref)):
+        c = F.col(f"_c{i}")
+        n = c if n is None else n + c
+    staged = agg.select("window", group_col, *[f"_c{i}" for i in range(len(ref))],
+                        n.alias("_n"))
+    chi2 = None
+    for i, (_w, p) in enumerate(ref):
+        q = F.col(f"_c{i}").cast("double") / F.col("_n")
+        term = (q - F.lit(p)) * (q - F.lit(p)) / F.lit(p)
+        chi2 = term if chi2 is None else chi2 + term
+    return staged.select(
+        "window",
+        group_col,
+        F.col("_n").alias("n_tokens_v"),
+        F.when(F.col("_n") > 0, F.round(chi2, 4)).alias("chi2"),
+    )

@@ -223,3 +223,54 @@ def test_stream_countmin_matches_batch_sketch(spark, tmp_path):
         for r in cms_estimate(merged, qdf, "word", depth=4, width=32).collect()
     }
     assert est["x"] >= 20 and est["y"] >= 7 and est["z"] >= 3
+
+
+def test_stream_source_drift_matches_python(spark, tmp_path):
+    """Windowed chi² drift vs a frozen reference: the streamed result
+    reproduces a hand-computed chi² for each (window, source); a
+    source with zero vocab tokens reports NULL."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from loggie_spark.streaming.pipeline import stream_source_drift
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (t0, "s1", "aa bb aa cc"),
+        (t0, "s1", "aa bb"),
+        (t0, "s2", "cc cc cc zz"),   # zz outside vocab -> ignored
+        (t0, "s3", "zz zz"),         # no vocab tokens -> NULL chi2
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "event_time timestamp, source string, text string"
+    ).write.parquet(src)
+
+    ref = [("aa", 0.5), ("bb", 0.3), ("cc", 0.2)]
+    stream = spark.readStream.schema(
+        "event_time timestamp, source string, text string"
+    ).parquet(src)
+    q = (
+        stream_source_drift(stream, ref, window="1 minute")
+        .writeStream.format("memory")
+        .queryName("drift_t")
+        .outputMode("complete")  # static input: append would hold windows open forever
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.source: (r.n_tokens_v, r.chi2) for r in spark.sql(
+        "SELECT * FROM drift_t").collect()}
+
+    def chi2(counts):
+        n = sum(counts.values())
+        tot = 0.0
+        for w, p in sorted(ref):
+            qq = counts.get(w, 0) / n
+            tot += (qq - p) * (qq - p) / p
+        return round(tot, 4)
+
+    assert got["s1"] == (6, chi2({"aa": 3, "bb": 2, "cc": 1}))
+    assert got["s2"] == (3, chi2({"cc": 3}))
+    assert got["s3"] == (0, None)
