@@ -694,20 +694,24 @@ def semdedup(
     from loggie_spark.functions.vectors import dot, norm
     from loggie_spark.operators.similarity import kmeans_refine
 
-    assigned, _ = kmeans_refine(
+    assigned_v, _ = kmeans_refine(
         corpus,
         n_cells=n_cells,
         iters=iters,
         c_id=c_id,
         c_vec=c_vec,
         max_members=max_members,
+        keep_vectors=True,
     )
-    vecs = corpus.select(
+    # reuse the assignment's own vector projection (keep_vectors) — no
+    # second corpus scan, no id join to re-fetch vectors
+    assigned = assigned_v.select(c_id, "cell", "cos")
+    side = assigned_v.select(
         F.col(c_id).alias("_id"),
+        "cell",
         F.col(c_vec).alias("_v"),
         norm(F.col(c_vec)).alias("_nrm"),
     )
-    side = assigned.select(F.col(c_id).alias("_id"), "cell").join(vecs, "_id")
     side, keys = _cap_buckets(side, ["cell"], cell_cap)
     side = side.repartition(
         corpus.sparkSession.sparkContext.defaultParallelism, *keys

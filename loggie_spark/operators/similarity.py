@@ -295,6 +295,7 @@ def kmeans_refine(
     c_id: str = "vec_id",
     c_vec: str = "embedding",
     max_members: int | None = 4096,
+    keep_vectors: bool = False,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Lloyd-refined quantizer over the hash-seeded IVF init: assign
     every vector to its max-cosine centroid, recompute each centroid
@@ -379,7 +380,13 @@ def kmeans_refine(
         )
         new = {int(r.cell): [float(x) for x in r.cent] for r in sums}
         cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
-    return assign(cents).select(c_id, "cell", "cos"), cents
+    final = assign(cents)
+    if keep_vectors:
+        # callers composing a vector-consuming stage (semdedup's pair
+        # verify) reuse the assignment's projection instead of paying a
+        # second corpus scan + id join to re-fetch vectors
+        return final.select(c_id, F.col("_v").alias(c_vec), "cell", "cos"), cents
+    return final.select(c_id, "cell", "cos"), cents
 
 
 def quantize_embeddings(
