@@ -213,3 +213,78 @@ def test_range_join_matches_bruteforce(spark, events, windows):
         if s <= m < s + d
     )
     assert got == want
+
+
+@given(
+    base=st.text(alphabet="abcd efg", min_size=25, max_size=60),
+    prefix=st.text(alphabet="xyz w", max_size=20),
+    suffix=st.text(alphabet="pq r", max_size=20),
+)
+@settings(**SETTINGS)
+def test_winnowing_shared_substring_guarantee(spark, base, prefix, suffix):
+    """The Schleimer winnowing theorem: two documents sharing a
+    substring of length ≥ k+w-1 MUST share at least one winnowed
+    fingerprint (k=12, w=8 → any shared 19-char run). doc_a = base,
+    doc_b = base embedded in unrelated context."""
+    from loggie_spark.operators.dedup import spread_small_input  # noqa: F401
+    from loggie_spark.operators.textstats import winnow_fingerprints
+
+    k, w = 12, 8
+    if len(base) < k + w - 1:
+        return
+    docs = spark.createDataFrame(
+        [(1, base), (2, prefix + base + suffix)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: set(r.fps)
+        for r in docs.select(
+            "doc_id", winnow_fingerprints(F.col("text"), k=k, w=w).alias("fps")
+        ).collect()
+    }
+    assert out[1] & out[2], "shared 19+-char substring yielded no shared fingerprint"
+
+
+@given(
+    n=st.integers(50, 400),
+    split_mod=st.integers(2, 5),
+    p=st.integers(4, 7),
+)
+@settings(**SETTINGS)
+def test_hll_shard_merge_equals_global_property(spark, n, split_mod, p):
+    """Any shard partitioning merges back to the global register table,
+    and estimates are permutation/shard-count invariant."""
+    from loggie_spark.operators.sketches import hll_build, hll_estimate, hll_merge
+
+    items = spark.range(n).select(F.col("id").cast("string").alias("v"))
+    whole = hll_build(items, "v", p=p)
+    merged = None
+    for r in range(split_mod):
+        shard = hll_build(
+            items.filter(F.col("v").cast("long") % split_mod == r), "v", p=p
+        )
+        merged = shard if merged is None else hll_merge(merged, shard)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+    e1 = hll_estimate(merged, p=p).collect()[0].estimate
+    e2 = hll_estimate(whole, p=p).collect()[0].estimate
+    assert e1 == e2
+
+
+@given(kf=st.sampled_from([0.25, 0.5, 0.75]))
+@settings(**SETTINGS)
+def test_dsir_resample_rate_tracks_keep_fraction(spark, kf):
+    """With weights pinned ≈ 1 (target == corpus), the deterministic
+    Bernoulli keep rate lands near keep_fraction; and the SAME doc ids
+    are kept every run (hash-draw determinism across sessions)."""
+    from loggie_spark.operators.curation import dsir_resample
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 4) for i in range(400)],
+        "doc_id long, text string",
+    )
+    out = dsir_resample(docs, docs, keep_fraction=kf).collect()
+    kept = [r.doc_id for r in out if r.keep]
+    rate = len(kept) / len(out)
+    assert abs(rate - kf) < 0.12
+    again = [r.doc_id for r in dsir_resample(docs, docs, keep_fraction=kf).collect()
+             if r.keep]
+    assert sorted(again) == sorted(kept)
