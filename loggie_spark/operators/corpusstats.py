@@ -689,14 +689,24 @@ def source_token_drift(
     Returns ``(group_col, n_tokens_v, chi2)``; a source with zero
     top-V tokens has no distribution to compare and emits no row.
     """
-    exploded = with_word_run_counts(
-        spread_small_input(docs), text_col
-    ).select(group_col, F.explode(F.col("_wc")).alias("p")).select(
-        group_col, F.col("p.word").alias("word"), F.col("p.cnt").alias("cnt")
-    )
+    # ONE text scan: collapse straight to (source, word, c); the vocab
+    # and the corpus totals both roll up from this scalar frame (the
+    # same derivation chain the DuckDB oracle uses). The frame feeds
+    # FIVE downstream branches, and per-branch column pruning makes the
+    # canonicalized subtrees differ — ReuseExchange does NOT kick in
+    # (measured: 6 FileScans of the corpus without the checkpoint) —
+    # so the scalar aggregate is materialized once, lineage truncated,
+    # exactly like dup_clusters' edge frame. Its size is bounded by
+    # |sources| × |distinct words per source|, a fraction of the text.
+    src_counts_all = (
+        with_word_run_counts(spread_small_input(docs), text_col)
+        .select(group_col, F.explode(F.col("_wc")).alias("p"))
+        .groupBy(group_col, F.col("p.word").alias("word"))
+        .agg(F.sum("p.cnt").cast("long").alias("c"))
+    ).localCheckpoint(eager=True)
     vocab = (
-        exploded.groupBy("word")
-        .agg(F.sum("cnt").cast("long").alias("tf"))
+        src_counts_all.groupBy("word")
+        .agg(F.sum("c").cast("long").alias("tf"))
         .orderBy(F.col("tf").desc(), F.col("word"))
         .limit(int(top_v))
     )
@@ -704,11 +714,7 @@ def source_token_drift(
     pw = vocab.crossJoin(F.broadcast(nv)).select(
         "word", (F.col("tf").cast("double") / F.col("_nv")).alias("p")
     )
-    src_counts = (
-        exploded.join(F.broadcast(vocab.select("word")), "word")
-        .groupBy(group_col, "word")
-        .agg(F.sum("cnt").cast("long").alias("c"))
-    )
+    src_counts = src_counts_all.join(F.broadcast(vocab.select("word")), "word")
     n_s = src_counts.groupBy(group_col).agg(
         F.sum("c").cast("long").alias("n_tokens_v")
     )
