@@ -360,6 +360,12 @@ def ccnet_buckets(
     from pyspark.sql import Window
 
     scores = bigram_lm_scores(docs, text_col, id_col, min_count=min_count)
+    # Checkpoint the (id, group, score) scalar frame: it feeds THREE
+    # branches (class counts, boundary-class ranking, final bucketing)
+    # and per-branch pruning defeats ReuseExchange, so without the
+    # lineage truncation each branch re-runs the whole bigram-LM
+    # scoring — measured 30 FileScans of the corpus per run. One
+    # materialized pass of corpus-scalar rows instead.
     frame = (
         docs.select(id_col, group_col)
         .join(scores, id_col)
@@ -368,11 +374,13 @@ def ccnet_buckets(
             group_col,
             F.coalesce("lm_score", F.lit(-1.0)).alias("_s"),
         )
-    )
-    # (1) class counts: one row per (group, distinct rounded score)
+    ).localCheckpoint(eager=True)
+    # (1) class counts: one row per (group, distinct rounded score) —
+    # also multi-referenced (window marks, boundary scan), also tiny
+    # (≤ ~10⁴ score classes per group), so truncate its lineage too
     cls = frame.groupBy(group_col, "_s").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
-    )
+    ).localCheckpoint(eager=True)
     # (2) cumulative ranks over the small class frame
     wc = (
         Window.partitionBy(group_col)

@@ -255,6 +255,13 @@ def minhash_lsh_pairs(
     )
     banded = minhash_bands(docs, n_hashes=n_hashes, bands=bands)
     banded, keys = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
+    # Materialize the signature table once: the self-join consumes it
+    # twice and per-branch pruning defeats ReuseExchange, so without
+    # lineage truncation every downstream reference re-shingles and
+    # re-hashes the corpus (measured 12 FileScans per run). The frame
+    # is (id, band, bucket) scalars — rows×bands, the standard LSH
+    # index size.
+    banded = banded.localCheckpoint(eager=True)
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -266,6 +273,9 @@ def minhash_lsh_pairs(
         .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # cand feeds three branches (both sides of the id union + the
+    # verify join) — truncate so the banded self-join runs once, not 3×
+    cand = cand.localCheckpoint(eager=True)
 
     # Exact-Jaccard verify: gram sets come from a CHEAP branch (tokenize
     # + shingle only, no hashing), pruned with a semi-join to candidate
