@@ -362,10 +362,10 @@ def ccnet_buckets(
     scores = bigram_lm_scores(docs, text_col, id_col, min_count=min_count)
     # Checkpoint the (id, group, score) scalar frame: it feeds THREE
     # branches (class counts, boundary-class ranking, final bucketing)
-    # and per-branch pruning defeats ReuseExchange, so without the
-    # lineage truncation each branch re-runs the whole bigram-LM
-    # scoring — measured 30 FileScans of the corpus per run. One
-    # materialized pass of corpus-scalar rows instead.
+    # and per-branch pruning defeats ReuseExchange, so without sharing
+    # each branch re-runs the whole bigram-LM scoring — measured 30
+    # FileScans of the corpus per run. persist() maps all references
+    # onto one InMemoryRelation of corpus-scalar rows, computed once.
     frame = (
         docs.select(id_col, group_col)
         .join(scores, id_col)
@@ -374,13 +374,13 @@ def ccnet_buckets(
             group_col,
             F.coalesce("lm_score", F.lit(-1.0)).alias("_s"),
         )
-    ).localCheckpoint(eager=True)
+    ).persist()
     # (1) class counts: one row per (group, distinct rounded score) —
     # also multi-referenced (window marks, boundary scan), also tiny
-    # (≤ ~10⁴ score classes per group), so truncate its lineage too
+    # (≤ ~10⁴ score classes per group), so share it too
     cls = frame.groupBy(group_col, "_s").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
-    ).localCheckpoint(eager=True)
+    ).persist()
     # (2) cumulative ranks over the small class frame
     wc = (
         Window.partitionBy(group_col)
@@ -703,15 +703,16 @@ def source_token_drift(
     # FIVE downstream branches, and per-branch column pruning makes the
     # canonicalized subtrees differ — ReuseExchange does NOT kick in
     # (measured: 6 FileScans of the corpus without the checkpoint) —
-    # so the scalar aggregate is materialized once, lineage truncated,
-    # exactly like dup_clusters' edge frame. Its size is bounded by
-    # |sources| × |distinct words per source|, a fraction of the text.
+    # so the scalar aggregate is shared via persist() — every branch
+    # reads one InMemoryRelation computed once inside the output job.
+    # Its size is bounded by |sources| × |distinct words per source|,
+    # a fraction of the text.
     src_counts_all = (
         with_word_run_counts(spread_small_input(docs), text_col)
         .select(group_col, F.explode(F.col("_wc")).alias("p"))
         .groupBy(group_col, F.col("p.word").alias("word"))
         .agg(F.sum("p.cnt").cast("long").alias("c"))
-    ).localCheckpoint(eager=True)
+    ).persist()
     vocab = (
         src_counts_all.groupBy("word")
         .agg(F.sum("c").cast("long").alias("tf"))

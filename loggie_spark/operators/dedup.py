@@ -255,13 +255,13 @@ def minhash_lsh_pairs(
     )
     banded = minhash_bands(docs, n_hashes=n_hashes, bands=bands)
     banded, keys = _cap_buckets(banded, ["band", "bucket"], bucket_cap)
-    # Materialize the signature table once: the self-join consumes it
-    # twice and per-branch pruning defeats ReuseExchange, so without
-    # lineage truncation every downstream reference re-shingles and
-    # re-hashes the corpus (measured 12 FileScans per run). The frame
-    # is (id, band, bucket) scalars — rows×bands, the standard LSH
-    # index size.
-    banded = banded.localCheckpoint(eager=True)
+    # Share the signature table: the self-join consumes it twice and
+    # per-branch pruning defeats ReuseExchange, so without sharing
+    # every downstream reference re-shingles and re-hashes the corpus
+    # (measured 12 FileScans per run). persist() maps all references
+    # onto one InMemoryRelation of (id, band, bucket) scalars —
+    # rows×bands, the standard LSH index size.
+    banded = banded.persist()
 
     left = banded.alias("l")
     right = banded.alias("r")
@@ -274,8 +274,8 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # cand feeds three branches (both sides of the id union + the
-    # verify join) — truncate so the banded self-join runs once, not 3×
-    cand = cand.localCheckpoint(eager=True)
+    # verify join) — share it so the banded self-join runs once, not 3×
+    cand = cand.persist()
 
     # Exact-Jaccard verify: gram sets come from a CHEAP branch (tokenize
     # + shingle only, no hashing), pruned with a semi-join to candidate

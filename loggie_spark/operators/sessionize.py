@@ -91,10 +91,19 @@ def funnel_counts(
     ``stage`` 1-based in funnel order.
     """
     assert stages, "funnel needs at least one stage"
+    # Each stage frame is (user, ts) scalars consumed TWICE (the next
+    # stage's join + its own count) — per-branch pruning defeats
+    # ReuseExchange, so without intervention every stage's scan chain
+    # re-executes per consumer (measured 2× the irreducible
+    # one-pruned-scan-per-stage). persist() maps every reference onto
+    # one InMemoryRelation — computed once within the single output
+    # job, no eager extra jobs, evicted LRU; frames are (user, ts)
+    # scalars shrinking monotonically down the funnel.
     prev = (
         events.filter(F.col(type_col) == stages[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("_t"))
+        .persist()
     )
     out_rows = [prev]
     for s in stages[1:]:
@@ -104,6 +113,7 @@ def funnel_counts(
             .filter(F.col(ts_col) > F.col("_pt"))
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("_t"))
+            .persist()
         )
         out_rows.append(prev)
     counts = [
