@@ -672,6 +672,7 @@ def semdedup(
     c_vec: str = "embedding",
     max_members: int | None = 4096,
     cell_cap: int | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means, call any within-cluster pair above a
@@ -704,6 +705,10 @@ def semdedup(
     from loggie_spark.functions.vectors import dot, norm
     from loggie_spark.operators.similarity import kmeans_refine
 
+    # ``centroids`` (a persisted quantizer via similarity.load_centroids
+    # + iters=0) turns the Lloyd pass into pure assignment — the
+    # incremental nightly shape: a standing corpus trains the cells
+    # once, every later shard just assigns and dedups.
     assigned_v, _ = kmeans_refine(
         corpus,
         n_cells=n_cells,
@@ -712,6 +717,7 @@ def semdedup(
         c_vec=c_vec,
         max_members=max_members,
         keep_vectors=True,
+        init_centroids=centroids,
     )
     # reuse the assignment's own vector projection (keep_vectors) — no
     # second corpus scan, no id join to re-fetch vectors

@@ -296,6 +296,7 @@ def kmeans_refine(
     c_vec: str = "embedding",
     max_members: int | None = 4096,
     keep_vectors: bool = False,
+    init_centroids: list[tuple[int, list[float]]] | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
     """Lloyd-refined quantizer over the hash-seeded IVF init: assign
     every vector to its max-cosine centroid, recompute each centroid
@@ -325,7 +326,11 @@ def kmeans_refine(
 
     Returns (assignments ``(c_id, cell, cos)``, final centroids).
     """
-    cents = ivf_centroids(corpus, n_cells, c_id, c_vec)
+    # init_centroids (e.g. load_centroids of a persisted quantizer)
+    # skips the hash-seeded init scan; with iters=0 the call is a pure
+    # assignment pass against the standing quantizer — the incremental
+    # shape for a new shard joining a standing corpus.
+    cents = init_centroids or ivf_centroids(corpus, n_cells, c_id, c_vec)
     dim = len(cents[0][1])
 
     def assign(cs: list[tuple[int, list[float]]]) -> DataFrame:

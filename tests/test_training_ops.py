@@ -2175,3 +2175,42 @@ def test_audio_ahash_volume_invariant_pairs(spark):
         audio_ahash(media), fp_col="dhash", id_col="media_id", max_hamming=3
     ).collect()
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [("a", "b", 0)]
+
+
+def test_semdedup_standing_quantizer_assignment_only(spark, tmp_path):
+    """centroids= + iters=0 is a pure assignment pass against a
+    persisted quantizer: same verdicts as training in-line, and a new
+    shard dedups against the SAME cells without re-running Lloyd."""
+    from loggie_spark.operators.dedup import semdedup
+    from loggie_spark.operators.similarity import (
+        kmeans_refine,
+        load_centroids,
+        save_centroids,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.02, 0.0, 0.0]),
+        (3, [0.98, 0.05, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, cents = kmeans_refine(emb, n_cells=2, iters=1)
+    path = str(tmp_path / "quantizer")
+    save_centroids(spark, cents, path)
+    loaded = load_centroids(spark, path)
+
+    inline = sorted(map(tuple, semdedup(emb, n_cells=2, threshold=0.95,
+                                        iters=1).collect()))
+    standing = sorted(map(tuple, semdedup(emb, n_cells=2, threshold=0.95,
+                                          iters=0, centroids=loaded).collect()))
+    assert standing == inline  # trained cells reproduce inline verdicts
+
+    shard = spark.createDataFrame(
+        [(10, [0.97, 0.08, 0.0, 0.0]), (11, [0.0, 0.99, 0.01, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semdedup(shard, n_cells=2, threshold=0.95,
+                                         iters=0, centroids=loaded).collect()}
+    assert out[10].keep and out[11].keep  # no dups within the shard
+    assert out[10].cell != out[11].cell   # assigned to the standing cells
