@@ -4697,6 +4697,13 @@ def td_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # union invariant mechanically.
 
 _DRIVER_PRIORITY: list[str] = [
+    # r06 ROTATION PLAN (staleness rule): the front of the r06 window
+    # MUST open with the nine r05 sit-outs — pl_addmeta,
+    # pl_normalize_chain, td_fingerprint, td_boilerplate, td_repetition,
+    # td_dedup_ngram_jaccard, td_dedup_exact, td_decontaminate,
+    # td_langid (r03-green, three rounds stale by r06) — then the r04
+    # anchors (flagship family, bigram/idf/asof (b)-yielders), then new
+    # r06 queries; the r05 window below rotates out.
     # -- (a) last driver-checked in r03 (rotated out of the r04 window) --
     "th_q1_pricing",
     "th_q3_revenue",
